@@ -90,6 +90,7 @@ class NeuSRenderCfg:
     N_upsample_iters: int = 4
     rays_chunk: Optional[int] = None
     sampler_dtype: str = "float32"
+    sampler_backend: str = "xla"   # 'xla' | 'pallas' (fused VMEM MLP)
 
 
 def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -110,12 +111,21 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     sampler_dtype = jnp.dtype(rcfg.sampler_dtype)
 
-    def sdf_fn(pts):
-        if sampler_dtype != pts.dtype:
-            pts = pts.astype(sampler_dtype)
-        sdf = nets.implicit_surface_fwd(
-            params["implicit_surface"], pts, mcfg.surface, return_h=False)
-        return sdf.astype(rays_o.dtype)
+    if rcfg.sampler_backend == "pallas":
+        from nerfart_tpu.ops.pallas import fused_implicit_surface_fwd
+
+        def sdf_fn(pts):
+            sdf, _ = fused_implicit_surface_fwd(
+                params["implicit_surface"], pts, mcfg.surface,
+                compute=rcfg.sampler_dtype)
+            return sdf.astype(rays_o.dtype)
+    else:
+        def sdf_fn(pts):
+            if sampler_dtype != pts.dtype:
+                pts = pts.astype(sampler_dtype)
+            sdf = nets.implicit_surface_fwd(
+                params["implicit_surface"], pts, mcfg.surface, return_h=False)
+            return sdf.astype(rays_o.dtype)
 
     # ---------- upsampling (neus.py:240-305)
     if rcfg.upsample_algo == "official_solution":

@@ -130,6 +130,9 @@ class VolSDFRenderCfg:
     # dtype for the no-grad sampler MLP queries; bf16 doubles sampler MXU
     # throughput at negligible sample-placement error (opt-in).
     sampler_dtype: str = "float32"
+    # 'xla' or 'pallas': the fused VMEM-resident MLP kernel for the no-grad
+    # sampler queries (ops/pallas/fused_mlp.py)
+    sampler_backend: str = "xla"
 
 
 def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -157,11 +160,23 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     sampler_dtype = jnp.dtype(rcfg.sampler_dtype)
 
-    def sdf_fn(pts):
-        if sampler_dtype != pts.dtype:
-            pts = pts.astype(sampler_dtype)
-        sdf, _ = forward_surface(params, pts, mcfg)
-        return sdf.astype(rays_o.dtype)
+    if rcfg.sampler_backend == "pallas":
+        from nerfart_tpu.ops.pallas import fused_implicit_surface_fwd
+
+        def sdf_fn(pts):
+            sdf, _ = fused_implicit_surface_fwd(
+                params["implicit_surface"], pts, mcfg.surface,
+                compute=rcfg.sampler_dtype)
+            if mcfg.use_sphere_bg:
+                sdf = jnp.minimum(sdf, mcfg.obj_bounding_radius
+                                  - jnp.linalg.norm(pts, axis=-1))
+            return sdf.astype(rays_o.dtype)
+    else:
+        def sdf_fn(pts):
+            if sampler_dtype != pts.dtype:
+                pts = pts.astype(sampler_dtype)
+            sdf, _ = forward_surface(params, pts, mcfg)
+            return sdf.astype(rays_o.dtype)
 
     d_fine, beta_map, iter_usage = volsdf_math.fine_sample(
         sdf_fn, d_init, rays_o, rays_d,

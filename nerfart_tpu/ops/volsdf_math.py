@@ -148,7 +148,9 @@ def fine_sample(
 
         def do_iter(d_vals, sdf, bounds):
             # upsample proportionally to the error bound; det=True with the
-            # endpoint trim (volsdf.py:196)
+            # endpoint trim (volsdf.py:196). NOTE: a merge of the two sorted
+            # sequences (ops/sampling.merge_sorted) was benchmarked against
+            # concat+argsort on TPU and lost (scatter > bitonic sort there).
             up_d = sample_pdf(d_vals, bounds, N_up + 2, det=True)[..., 1:-1]
             up_sdf = query_sdf(up_d)
             d_new = jnp.concatenate([d_vals, up_d], axis=-1)

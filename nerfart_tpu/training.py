@@ -36,8 +36,11 @@ class TrainCfg:
 
 
 def _sample_batch_rays(batch: Dict[str, jnp.ndarray], key: jax.Array,
-                       tcfg: TrainCfg) -> Tuple[jnp.ndarray, ...]:
-    """Random pixel rays + gathered targets (volsdf.py:701-717)."""
+                       tcfg: TrainCfg, mesh=None) -> Tuple[jnp.ndarray, ...]:
+    """Random pixel rays + gathered targets (volsdf.py:701-717).
+
+    With a mesh, per-ray tensors get sharded over the 'data' axis — the TPU
+    equivalent of the reference's DataParallel ray-split (volsdf.py:633)."""
     c2w = batch["c2w"]
     intrinsics = batch["intrinsics"]
     rays_o, rays_d, select_inds = ray_ops.get_rays(
@@ -52,16 +55,26 @@ def _sample_batch_rays(batch: Dict[str, jnp.ndarray], key: jax.Array,
     if "object_mask" in batch:
         target_mask = jnp.take_along_axis(batch["object_mask"],
                                           select_inds, axis=-1)
+    if mesh is not None:
+        from nerfart_tpu.parallel.mesh import shard_rays
+        rays_o = shard_rays(rays_o, mesh)
+        rays_d = shard_rays(rays_d, mesh)
+        target_rgb = shard_rays(target_rgb, mesh)
+        if mask_ignore is not None:
+            mask_ignore = shard_rays(mask_ignore, mesh)
+        if target_mask is not None:
+            target_mask = shard_rays(target_mask, mesh)
     return rays_o, rays_d, select_inds, target_rgb, mask_ignore, target_mask
 
 
 def volsdf_losses(params: Params, batch: Dict[str, jnp.ndarray],
                   key: jax.Array, mcfg: volsdf_fw.VolSDFCfg,
-                  rcfg: volsdf_fw.VolSDFRenderCfg, tcfg: TrainCfg):
+                  rcfg: volsdf_fw.VolSDFRenderCfg, tcfg: TrainCfg,
+                  mesh=None):
     """VolSDF reconstruction losses (reference volsdf.py:784-823)."""
     k_rays, k_render, k_eik = jax.random.split(key, 3)
     rays_o, rays_d, select_inds, target_rgb, mask_ignore, _ = \
-        _sample_batch_rays(batch, k_rays, tcfg)
+        _sample_batch_rays(batch, k_rays, tcfg, mesh)
 
     rgb, _, extras = volsdf_fw.volume_render(
         params, rays_o, rays_d, mcfg, rcfg, key=k_render)
@@ -106,11 +119,12 @@ def volsdf_losses(params: Params, batch: Dict[str, jnp.ndarray],
 
 def neus_losses(params: Params, batch: Dict[str, jnp.ndarray],
                 key: jax.Array, mcfg: neus_fw.NeuSCfg,
-                rcfg: neus_fw.NeuSRenderCfg, tcfg: TrainCfg):
+                rcfg: neus_fw.NeuSRenderCfg, tcfg: TrainCfg,
+                mesh=None):
     """NeuS reconstruction losses (reference neus.py:578-617)."""
     k_rays, k_render = jax.random.split(key)
     rays_o, rays_d, select_inds, target_rgb, mask_ignore, target_mask = \
-        _sample_batch_rays(batch, k_rays, tcfg)
+        _sample_batch_rays(batch, k_rays, tcfg, mesh)
 
     rgb, _, extras = neus_fw.volume_render(
         params, rays_o, rays_d, mcfg, rcfg, key=k_render)
@@ -165,17 +179,20 @@ def make_optimizer(args, num_iters: int) -> optax.GradientTransformation:
 def make_train_step(framework: str, mcfg, rcfg, tcfg: TrainCfg,
                     optimizer: optax.GradientTransformation,
                     frozen_module: Optional[str] = None,
-                    donate: bool = True):
+                    donate: bool = True, mesh=None):
     """Build the jitted (params, opt_state, batch, key) -> ... step.
 
     frozen_module: 'implicit_surface' | 'radiance_net' | None — zeroes the
     module's gradients (reference fix_module, volsdf.py:371-386).
+    mesh: optional jax Mesh — shards the ray batch over the 'data' axis
+    (multi-chip DP; gradients all-reduce via XLA collectives over ICI).
     """
     loss_fn = {"volsdf": volsdf_losses, "neus": neus_losses}[framework.lower()]
 
     def step(params, opt_state, batch, key):
         grads, (losses, aux) = jax.grad(
-            loss_fn, has_aux=True)(params, batch, key, mcfg, rcfg, tcfg)
+            loss_fn, has_aux=True)(params, batch, key, mcfg, rcfg, tcfg,
+                                   mesh)
         if frozen_module is not None:
             zeroed = jax.tree_util.tree_map(jnp.zeros_like,
                                             grads[frozen_module])

@@ -1,0 +1,138 @@
+"""Stylization-stack tests: resize parity vs torch, CLIP/VGG towers,
+losses and the combined style loss on tiny random models."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfart_tpu.criteria import losses as L
+from nerfart_tpu.criteria import neg_text
+from nerfart_tpu.criteria.style import StyleCfg, style_loss
+from nerfart_tpu.models import vgg as vgg_mod
+from nerfart_tpu.models.clip import (SimpleTokenizer, VIT_B_32,
+                                     encode_image, encode_text,
+                                     init_clip_params)
+from nerfart_tpu.models.clip.model import CLIPCfg
+from nerfart_tpu.ops.resize import resize2d
+
+TINY_CLIP = CLIPCfg(image_resolution=224, vision_patch_size=32,
+                    vision_width=64, vision_layers=2, vision_heads=2,
+                    context_length=77, vocab_size=49408, text_width=32,
+                    text_heads=2, text_layers=2, embed_dim=16)
+
+
+@pytest.fixture(scope="module")
+def tiny_clip():
+    return init_clip_params(jax.random.PRNGKey(0), TINY_CLIP)
+
+
+def test_resize_bilinear_matches_torch(golden):
+    g = golden("resize")
+    out = resize2d(jnp.asarray(g["src"]), (224, 224), mode="bilinear")
+    np.testing.assert_allclose(out, g["bilinear_224"], atol=1e-5)
+
+
+def test_resize_bicubic_matches_torch(golden):
+    g = golden("resize")
+    out = resize2d(jnp.asarray(g["src"]), (224, 224), mode="bicubic")
+    np.testing.assert_allclose(out, g["bicubic_224"], atol=1e-4)
+    up = resize2d(jnp.asarray(g["src2"]), (224, 224), mode="bicubic")
+    np.testing.assert_allclose(up, g["bicubic_up"], atol=1e-4)
+
+
+def test_clip_towers_shapes(tiny_clip):
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 224, 224))
+    feats = encode_image(tiny_clip, imgs, TINY_CLIP)
+    assert feats.shape == (2, 16)
+    tok = SimpleTokenizer()  # hash fallback (no BPE file in this env)
+    tokens = jnp.asarray(tok.tokenize(["a photo of a face", "zombie"]))
+    tfeats = encode_text(tiny_clip, tokens, TINY_CLIP)
+    assert tfeats.shape == (2, 16)
+    assert bool(jnp.isfinite(feats).all() and jnp.isfinite(tfeats).all())
+
+
+def test_tokenizer_framing():
+    tok = SimpleTokenizer()
+    t = tok.tokenize("hello world")
+    assert t.shape == (1, 77)
+    assert t[0, 0] == SimpleTokenizer.SOT
+    assert SimpleTokenizer.EOT in t[0]
+    # deterministic
+    np.testing.assert_array_equal(t, tok.tokenize("hello world"))
+
+
+def test_neg_text_bank():
+    texts = neg_text.create_fine_neg_texts("a zombie face")
+    all_texts = neg_text.parse_neg_text()
+    assert len(texts) > 0
+    # zombie category removed
+    assert not any(t in texts for t in all_texts["zombie"])
+    texts2 = neg_text.create_fine_neg_texts("van gogh painting")
+    assert not any(t in texts2 for t in all_texts["portrait"])
+
+
+def test_vgg_blocks():
+    params = vgg_mod.init_vgg16_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 224, 224))
+    feats = vgg_mod.vgg16_block_features(params, x)
+    assert len(feats) == 4
+    assert feats[0].shape == (1, 64, 224, 224)
+    assert feats[1].shape == (1, 128, 112, 112)
+    assert feats[2].shape == (1, 256, 56, 56)
+    assert feats[3].shape == (1, 512, 28, 28)
+
+
+def test_style_loss_end_to_end(tiny_clip):
+    """Full combined style loss is finite and differentiable w.r.t. the
+    rendered image (the gradient that drives pass 2 of the finetune)."""
+    vgg_params = vgg_mod.init_vgg16_params(jax.random.PRNGKey(2))
+    H, W = 60, 40
+    rgb_pred = jax.random.uniform(jax.random.PRNGKey(3), (1, H * W, 3))
+    rgb_gt = jax.random.uniform(jax.random.PRNGKey(4), (1, H * W, 3))
+
+    T, D = 5, 16
+    bank = L.TextBank(
+        text_direction=jnp.ones((1, D)) / np.sqrt(D),
+        target_feats=jax.random.normal(jax.random.PRNGKey(5), (T, D)),
+        neg_feats=jax.random.normal(jax.random.PRNGKey(6), (4, T, D)))
+
+    import nerfart_tpu.criteria.losses as Lmod
+    # patch geometry scaled down for the tiny image
+    # crop bounds need target_h >= 311 for the 112-patch margin rules
+    scfg = StyleCfg(patch=Lmod.PatchNCECfg(target_h=340, target_w=240,
+                                           pad_lr=20, pad_tb=30,
+                                           n_patches=2, is_full_res=False))
+    # monkeypatch: tiny clip via closure — style_loss calls the global CLIP
+    # encode; here we only check the jax graph plumbing with the tiny cfg
+    import nerfart_tpu.models.clip.model as cm
+    orig = cm.encode_image
+
+    def tiny_encode(params, images, cfg=VIT_B_32):
+        return orig(params, images, TINY_CLIP)
+
+    cm.encode_image = tiny_encode
+    try:
+        def f(pred):
+            total, parts = style_loss(tiny_clip, vgg_params, bank, pred,
+                                      rgb_gt, H, jax.random.PRNGKey(7), scfg)
+            return total, parts
+
+        (total, parts), grad = jax.value_and_grad(f, has_aux=True)(rgb_pred)
+        assert np.isfinite(float(total))
+        assert set(parts) == {"clip", "perceptual", "contrastive", "patchnce"}
+        assert bool(jnp.isfinite(grad).all())
+        assert float(jnp.abs(grad).max()) > 0
+    finally:
+        cm.encode_image = orig
+
+
+def test_patchnce_patch_size_fullres_flag():
+    cfg = L.PatchNCECfg(target_h=960, target_w=540, is_full_res=True)
+    assert cfg.patch_size == 224
+    i_lo, i_hi, j_lo, j_hi = cfg.crop_bounds()
+    assert (i_lo, i_hi) == (200, 960 - 224 + 1 - 200)
+    cfg2 = L.PatchNCECfg(target_h=960, target_w=540, is_full_res=False)
+    assert cfg2.patch_size == 112
+    assert cfg2.crop_bounds()[0] == 100

@@ -1,0 +1,321 @@
+"""Training / fine-tuning CLI (reference train.py).
+
+Same surface: `python train.py --config configs/X.yaml [--k v --sec:key v]`,
+`--resume_dir`, periodic latest/numbered checkpoints, validation image +
+mesh rendering, tensorboard scalars, SIGINT save.
+
+TPU redesign: the train step is one jitted program (sampling + render +
+losses + grads + optimizer); validation renders are a second jitted
+program. Multi-chip data parallelism comes from sharding the ray batch
+over a jax Mesh (see nerfart_tpu/parallel) instead of DDP.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nerfart_tpu import training
+from nerfart_tpu.data import get_data
+from nerfart_tpu.frameworks import get_model
+from nerfart_tpu.models import base as nets
+from nerfart_tpu.utils import mesh_util
+from nerfart_tpu.utils.checkpoints import CheckpointIO
+from nerfart_tpu.utils.config import (cond_mkdir, create_args_parser,
+                                      load_config, save_config)
+from nerfart_tpu.utils.logger import Logger
+from nerfart_tpu.utils.print_fn import log
+from nerfart_tpu.ops.rays import get_rays, lin2img
+
+
+def backup_codes(backup_dir):
+    """Copy the framework's .py sources into the exp dir
+    (reference io_util.py:72-110)."""
+    import shutil
+    src_root = os.path.dirname(os.path.abspath(__file__))
+    for subdir in ["", "nerfart_tpu", "nerfart_tpu/ops", "nerfart_tpu/models",
+                   "nerfart_tpu/models/clip", "nerfart_tpu/criteria",
+                   "nerfart_tpu/data", "nerfart_tpu/utils",
+                   "nerfart_tpu/parallel", "tools"]:
+        sdir = os.path.join(src_root, subdir)
+        if not os.path.isdir(sdir):
+            continue
+        ddir = os.path.join(backup_dir, subdir)
+        cond_mkdir(ddir)
+        for f in os.listdir(sdir):
+            if f.endswith(".py"):
+                shutil.copyfile(os.path.join(sdir, f), os.path.join(ddir, f))
+
+
+def stage_batch(model_input, ground_truth):
+    batch = {
+        "c2w": jnp.asarray(model_input["c2w"])[None],
+        "intrinsics": jnp.asarray(model_input["intrinsics"])[None],
+        "rgb": jnp.asarray(ground_truth["rgb"])[None],
+    }
+    if "object_mask" in model_input:
+        batch["object_mask"] = jnp.asarray(model_input["object_mask"])[None]
+    if "mask_ignore" in model_input:
+        batch["mask_ignore"] = jnp.asarray(model_input["mask_ignore"])[None]
+    return batch
+
+
+def main_function(args):
+    is_finetune = bool(args["training"]["is_finetune"])
+    section = args["finetune"] if is_finetune else args["training"]
+    NUM_ITERS = int(section["num_iters"])
+    I_VAL = int(section.get("i_val", 500))
+    I_VAL_MESH = int(section.get("i_val_mesh", 10000))
+    I_BACKUP = int(section.get("i_backup", 50000))
+    I_SAVE = int(section.get("i_save", 900))
+
+    exp_dir = args["training"]["exp_dir"]
+    mesh_dir = os.path.join(exp_dir, "meshes")
+    logger = Logger(log_dir=exp_dir, img_dir=os.path.join(exp_dir, "imgs"),
+                    monitoring=args["training"].get("monitoring",
+                                                    "tensorboard"),
+                    monitoring_dir=os.path.join(exp_dir, "events"))
+    log.info("=> Experiments dir: %s", exp_dir)
+    backup_codes(os.path.join(exp_dir, "backup"))
+    save_config(args, os.path.join(exp_dir, "config.yaml"))
+
+    dataset, val_dataset = get_data(
+        args, return_val=True, val_downscale=args["data"].get(
+            "val_downscale", 2.0))
+    bundle = get_model(args)
+    log.info("=> Framework: %s", bundle.name)
+
+    H, W = dataset.H, dataset.W
+    val_H, val_W = val_dataset.H, val_dataset.W
+
+    # seed everything (the reference seeds to 42, dist_util.py:39)
+    root_key = jax.random.PRNGKey(int(args.get("seed", 42)))
+    k_init, k_train = jax.random.split(root_key)
+    params = bundle.init_params(k_init)
+    log.info("=> Nerf params: %s", str(training.count_parameters(params)))
+
+    optimizer, schedule = training.make_optimizer(args, NUM_ITERS)
+    opt_state = optimizer.init(params)
+
+    # checkpoints
+    ignore_keys = ["optimizer", "global_step", "epoch_idx"] if is_finetune \
+        else []
+    checkpoint_io = CheckpointIO(os.path.join(exp_dir, "ckpts"))
+    ckpt_file = args["finetune"]["pretrain_weight"] if is_finetune \
+        else args["training"].get("ckpt_file", None)
+    load_dict = checkpoint_io.load_file(
+        ckpt_file, ignore_keys=ignore_keys,
+        only_use_keys=args["training"].get("ckpt_only_use_keys", None),
+        framework=bundle.name)
+    if "model" in load_dict:
+        params = jax.tree_util.tree_map(jnp.asarray, load_dict["model"])
+    if "optimizer" in load_dict:
+        opt_state = jax.tree_util.tree_map(
+            jnp.asarray, load_dict["optimizer"])
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(optimizer.init(params)),
+            jax.tree_util.tree_leaves(opt_state))
+    logger.load_stats("stats.p")
+    it = int(load_dict.get("global_step", 0))
+    epoch_idx = int(load_dict.get("epoch_idx", 0))
+
+    # SIREN sphere pretraining (train.py:146-151)
+    if "lr_pretrain" in args["training"] and bundle.mcfg.surface.use_siren:
+        params["implicit_surface"], _ = nets.pretrain_siren_sdf(
+            params["implicit_surface"], bundle.mcfg.surface,
+            jax.random.PRNGKey(0), lr=float(args["training"]["lr_pretrain"]))
+        checkpoint_io.register_modules(model=lambda: params)
+        checkpoint_io.save("latest.npz", global_step=it, epoch_idx=epoch_idx)
+
+    # ------------------------------------------------------------------
+    # build the jitted step
+    # ------------------------------------------------------------------
+    if is_finetune:
+        from nerfart_tpu import finetune as ft
+        from nerfart_tpu.criteria import (StyleCfg, TextBank,
+                                          create_fine_neg_texts)
+        from nerfart_tpu.criteria.losses import PatchNCECfg
+        from nerfart_tpu.models import clip as clip_mod
+        from nerfart_tpu.models import vgg as vgg_mod
+
+        fcfg_sec = args["finetune"]
+        clip_params = clip_mod.load_clip_params(
+            args.get("clip_weights", os.environ.get("CLIP_WEIGHTS")))
+        vgg_params = vgg_mod.load_vgg16_params(
+            args.get("vgg_weights", os.environ.get("VGG16_WEIGHTS")))
+        tokenizer = clip_mod.SimpleTokenizer(clip_mod.default_bpe_path())
+        neg_texts = create_fine_neg_texts(fcfg_sec["target_text"])
+        log.info("=> Building text bank (%d negatives)...", len(neg_texts))
+        bank = TextBank.build(clip_params, tokenizer,
+                              fcfg_sec["src_text"], fcfg_sec["target_text"],
+                              neg_texts)
+        scfg = StyleCfg(
+            w_clip=float(fcfg_sec["w_clip"]),
+            w_perceptual=float(fcfg_sec["w_perceptual"]),
+            w_contrastive=float(fcfg_sec["w_contrastive"]),
+            w_patchnce=float(fcfg_sec["w_patchnce"]),
+            patch=PatchNCECfg(
+                target_h=dataset.H * int(args["data"]["downscale"]),
+                target_w=dataset.W * int(args["data"]["downscale"]),
+                is_full_res=int(args["data"]["downscale"]) == 1))
+        fcfg = ft.FinetuneCfg(
+            H=H, W=W, framework=bundle.name,
+            w_eikonal=float(fcfg_sec.get("w_eikonal", 0.1)),
+            use_eikonal=bool(fcfg_sec.get("use_eikonal", True)),
+            fix_module="radiance_net" if bundle.name == "neus" else None)
+        rcfg = bundle.make_render_cfg(test=False)
+        step_fn = ft.make_finetune_step(
+            clip_params, vgg_params, bank, bundle.mcfg, rcfg, scfg, fcfg,
+            optimizer)
+    else:
+        tcfg = training.TrainCfg(
+            H=H, W=W, N_rays=int(args["data"]["N_rays"]),
+            w_eikonal=float(args["training"].get("w_eikonal", 0.1)),
+            with_mask=bool(args["training"].get("with_mask", False)),
+            w_mask=float(args["training"].get("w_mask", 0.0)),
+            obj_bounding_radius=float(args["model"]["obj_bounding_radius"]))
+        rcfg = bundle.make_render_cfg(
+            test=False, detailed_output=True,
+            **({"require_nablas": True, "calc_normal": False}
+               if bundle.name == "volsdf" else {}))
+        step_fn = training.make_train_step(
+            bundle.name, bundle.mcfg, rcfg, tcfg, optimizer)
+
+    # validation render (full image at val downscale)
+    val_rcfg = bundle.make_render_cfg(
+        test=True, rays_chunk=int(args["data"].get("val_rayschunk", 1024)),
+        calc_normal=True, detailed_output=True,
+        **({"require_nablas": True} if bundle.name == "volsdf" else {}))
+
+    @jax.jit
+    def render_val(params, c2w, intrinsics):
+        rays_o, rays_d, _ = get_rays(c2w, intrinsics, val_H, val_W,
+                                     N_rays=-1)
+        return bundle.volume_render(params, rays_o, rays_d, bundle.mcfg,
+                                    val_rcfg)
+
+    checkpoint_io.register_modules(
+        model=lambda: params, optimizer=lambda: opt_state)
+
+    t0 = time.time()
+    log.info("=> Start training..., it=%d, in %s", it, exp_dir)
+    n_imgs = len(dataset)
+    order_key = np.random.RandomState(42)
+    special_i_val_mesh = [3000, 5000, 7000]
+
+    try:
+        while it <= NUM_ITERS:
+            order = (order_key.permutation(n_imgs) if not is_finetune
+                     else np.arange(n_imgs))
+            for img_idx in order:
+                idx, model_input, ground_truth = dataset[int(img_idx)]
+
+                # ---------------- validation (train.py:175-208)
+                if I_VAL > 0 and it % I_VAL == 0:
+                    vidx, val_in, val_gt = val_dataset[
+                        int(order_key.randint(len(val_dataset)))]
+                    rgb, depth_v, ret = render_val(
+                        params, jnp.asarray(val_in["c2w"])[None],
+                        jnp.asarray(val_in["intrinsics"])[None])
+                    to_img = lambda x: np.asarray(lin2img(
+                        x, val_H, val_W, batched=True))
+                    logger.add_imgs(to_img(jnp.asarray(
+                        val_gt["rgb"])[None]), "val/gt_rgb", it)
+                    logger.add_imgs(to_img(rgb), "val/predicted_rgb", it)
+                    logger.add_imgs(to_img(
+                        (depth_v / (depth_v.max() + 1e-10))[..., None]),
+                        "val/pred_depth_volume", it)
+                    logger.add_imgs(to_img(
+                        ret["mask_volume"][..., None]),
+                        "val/pred_mask_volume", it)
+                    if "beta_map" in ret:
+                        logger.add("val", "beta_mean",
+                                   float(np.asarray(ret["beta_map"]).mean()),
+                                   it)
+
+                # ---------------- validate mesh (train.py:213-222)
+                if (I_VAL_MESH > 0
+                        and (it % I_VAL_MESH == 0
+                             or it in special_i_val_mesh) and it != 0):
+                    cond_mkdir(mesh_dir)
+                    mcfg = bundle.mcfg
+
+                    @jax.jit
+                    def sdf_query(pts):
+                        return nets.implicit_surface_fwd(
+                            params["implicit_surface"], pts, mcfg.surface,
+                            return_h=False)
+
+                    mesh_util.extract_mesh(
+                        sdf_query,
+                        filepath=os.path.join(mesh_dir, f"{it:08d}.ply"),
+                        volume_size=float(args["data"].get(
+                            "volume_size", 2.0)),
+                        N=int(args["data"].get("mesh_N", 256)))
+
+                if it >= NUM_ITERS:
+                    raise StopIteration
+
+                # ---------------- train step
+                start_time = time.time()
+                batch = stage_batch(model_input, ground_truth)
+                k_step = jax.random.fold_in(k_train, it)
+                if is_finetune:
+                    params, opt_state, losses = step_fn(
+                        params, opt_state, batch, k_step)
+                    grad_norm = None
+                else:
+                    params, opt_state, losses, aux, grad_norm = step_fn(
+                        params, opt_state, batch, k_step)
+
+                # ---------------- logging (train.py:251-314)
+                if I_SAVE > 0 and time.time() - t0 > I_SAVE:
+                    checkpoint_io.save("latest.npz", global_step=it,
+                                       epoch_idx=epoch_idx)
+                    logger.save_stats("stats.p")
+                    t0 = time.time()
+                if I_BACKUP > 0 and it % I_BACKUP == 0 and it > 0:
+                    checkpoint_io.save(f"{it:08d}.npz", global_step=it,
+                                       epoch_idx=epoch_idx)
+
+                for k, v in losses.items():
+                    logger.add("losses", k, float(np.asarray(v)), it)
+                if grad_norm is not None:
+                    logger.add("grad", "total_norm",
+                               float(np.asarray(grad_norm)), it)
+                logger.add("learning rates", "whole",
+                           float(np.asarray(schedule(it))), it)
+                log.debug("=> One iteration time is %.2f",
+                          time.time() - start_time)
+                if it % 10 == 0:
+                    log.info("it=%d loss=%.5f (%.2fs/it)", it,
+                             float(np.asarray(losses["total"])),
+                             time.time() - start_time)
+                it += 1
+            epoch_idx += 1
+    except StopIteration:
+        pass
+    except KeyboardInterrupt:
+        checkpoint_io.save("latest.npz", global_step=it,
+                           epoch_idx=epoch_idx)
+        logger.save_stats("stats.p")
+        sys.exit()
+
+    checkpoint_io.save(f"final_{it:08d}.npz", global_step=it,
+                       epoch_idx=epoch_idx)
+    logger.save_stats("stats.p")
+    log.info("Everything done.")
+
+
+if __name__ == "__main__":
+    parser = create_args_parser()
+    parser.add_argument("--ddp", action="store_true",
+                        help="kept for reference-CLI compatibility; "
+                             "multi-chip runs shard via jax Mesh instead")
+    parser.add_argument("--port", type=int, default=None)
+    cli_args, unknown = parser.parse_known_args()
+    config = load_config(cli_args, unknown)
+    main_function(config)
