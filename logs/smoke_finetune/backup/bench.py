@@ -1,0 +1,89 @@
+"""Benchmark: VolSDF novel-view rendering throughput on real hardware.
+
+Headline metric matching the reference's only published number
+(reference README.md:65: 90 views at 480x270 in ~30 min on an RTX 3090
+= ~6.5k rays/s end-to-end, BASELINE.md): rays/sec for full-quality VolSDF
+volume rendering (128 coarse + error-bounded fine sampling with the
+volsdf_fangzhou_nature budget: 512 dense init, 6 upsample iters x 512,
+64 importance).
+
+Prints ONE JSON line:
+  {"metric": "volsdf_render_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 6500}
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfart_tpu.models import base as nets
+    from nerfart_tpu.models import volsdf as V
+    from nerfart_tpu.ops.rays import get_rays
+
+    # full-size model per configs/volsdf_fangzhou_nature.yaml
+    mcfg = V.VolSDFCfg(
+        beta_init=0.1, speed_factor=10.0, obj_bounding_radius=3.0,
+        surface=nets.ImplicitSurfaceCfg(W=256, D=8, skips=(4,),
+                                        W_geo_feat=256, embed_multires=6,
+                                        obj_bounding_size=3.0),
+        radiance=nets.RadianceNetCfg(D=4, W=256, skips=(), W_geo_feat=256,
+                                     embed_multires=-1,
+                                     embed_multires_view=-1,
+                                     use_view_dirs=True))
+    params = V.init_volsdf(jax.random.PRNGKey(42), mcfg)
+
+    H, W = 270, 480
+    rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 4320))
+    sampler_dtype = os.environ.get("BENCH_SAMPLER_DTYPE", "bfloat16")
+    sampler_backend = os.environ.get("BENCH_SAMPLER_BACKEND", "xla")
+    rcfg = V.VolSDFRenderCfg(
+        near=0.0, far=6.0, obj_bounding_radius=3.0,
+        N_samples=128, N_importance=64, max_upsample_steps=6,
+        max_bisection_steps=10, epsilon=0.1,
+        calc_normal=True, require_nablas=True, detailed_output=False,
+        rays_chunk=rays_chunk, sampler_dtype=sampler_dtype,
+        sampler_backend=sampler_backend)
+
+    c2w = jnp.eye(4).at[2, 3].set(-2.5)
+    intr = (jnp.eye(4).at[0, 0].set(550.0).at[1, 1].set(550.0)
+            .at[0, 2].set(W / 2).at[1, 2].set(H / 2))
+    rays_o, rays_d, _ = get_rays(c2w[None], intr[None], H, W, N_rays=-1)
+
+    render = jax.jit(V.volume_render, static_argnames=("mcfg", "rcfg"))
+
+    def sync(x):
+        # NOTE: on the axon-tunneled TPU backend block_until_ready returns
+        # immediately; a host transfer is the only reliable barrier.
+        jax.block_until_ready(x)
+        return float(np.asarray(x.reshape(-1)[0]))
+
+    # warmup/compile
+    rgb, depth, extras = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
+    sync(rgb)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 3))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        rgb, depth, extras = render(params, rays_o, rays_d,
+                                    mcfg=mcfg, rcfg=rcfg)
+        sync(rgb)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    rays_per_sec = H * W / dt
+    baseline = 6500.0  # RTX 3090 end-to-end (README.md:65)
+    print(json.dumps({
+        "metric": "volsdf_render_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

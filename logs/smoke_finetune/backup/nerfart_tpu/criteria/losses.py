@@ -1,0 +1,270 @@
+"""Stylization loss stack: directional CLIP, VGG perceptual, global
+contrastive, local PatchNCE (+ the NeRF_pl-variant extras: InfoNCE and the
+weights regularizers).
+
+Design: text features are precomputed once on the host (`TextBank`), so
+the per-step loss is a single pure jit-able function of
+(clip_params, vgg_params, rgb_pred, rgb_gt, sampled negative indices,
+patch crop positions) — CLIP/VGG forward+backward never leave the device.
+
+Reference semantics preserved per function (file:line cited inline).
+"""
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfart_tpu.criteria import preprocess as pp
+from nerfart_tpu.criteria.templates import imagenet_templates
+from nerfart_tpu.models import vgg as vgg_mod
+from nerfart_tpu.models.clip import model as clip_model
+from nerfart_tpu.ops.resize import resize2d
+
+Params = Any
+
+
+# --------------------------------------------------------------------------
+# text feature precomputation
+# --------------------------------------------------------------------------
+
+def encode_templates(clip_params: Params, tokenizer, class_str: str,
+                     templates: Sequence[str] = imagenet_templates,
+                     batch: int = 128) -> jnp.ndarray:
+    """Normalized per-template text features [T, 512]
+    (reference clip_loss.py:222-232)."""
+    texts = [t.format(class_str) for t in templates]
+    tokens = tokenizer.tokenize(texts)
+    feats = []
+    enc = jax.jit(clip_model.encode_text)
+    for i in range(0, len(tokens), batch):
+        feats.append(enc(clip_params, jnp.asarray(tokens[i:i + batch])))
+    feats = jnp.concatenate(feats, axis=0)
+    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+
+def compute_text_direction(src_feats: jnp.ndarray,
+                           tgt_feats: jnp.ndarray) -> jnp.ndarray:
+    """Normalized mean edit direction [1, 512] (clip_loss.py:234-242)."""
+    d = (tgt_feats - src_feats).mean(axis=0, keepdims=True)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+@dataclasses.dataclass
+class TextBank:
+    """All text features a stylization run needs, precomputed once."""
+    text_direction: jnp.ndarray        # [1, 512]
+    target_feats: jnp.ndarray          # [T, 512] target templates
+    neg_feats: jnp.ndarray             # [N_neg, T, 512] negative-text templates
+
+    @staticmethod
+    def build(clip_params: Params, tokenizer, src_text: str, target_text: str,
+              neg_texts: List[str]) -> "TextBank":
+        src = encode_templates(clip_params, tokenizer, src_text)
+        tgt = encode_templates(clip_params, tokenizer, target_text)
+        negs = [encode_templates(clip_params, tokenizer, t) for t in neg_texts]
+        return TextBank(
+            text_direction=compute_text_direction(src, tgt),
+            target_feats=tgt,
+            neg_feats=jnp.stack(negs) if negs else jnp.zeros((0, *tgt.shape)),
+        )
+
+
+# --------------------------------------------------------------------------
+# image feature helpers
+# --------------------------------------------------------------------------
+
+def _img_features(clip_params, img, norm=True):
+    f = clip_model.encode_image(clip_params, img)
+    if norm:
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    return f
+
+
+# --------------------------------------------------------------------------
+# losses
+# --------------------------------------------------------------------------
+
+def directional_clip_loss(clip_params: Params, rgb_gt: jnp.ndarray,
+                          rgb_pred: jnp.ndarray,
+                          text_direction: jnp.ndarray) -> jnp.ndarray:
+    """1 - cos(image edit direction, text direction)
+    (reference clip_loss.py:244-254 with 'cosine' DirectionLoss)."""
+    src = _img_features(clip_params, pp.preprocess_square224(rgb_gt))
+    tgt = _img_features(clip_params, pp.preprocess_square224(rgb_pred))
+    edit = tgt - src
+    edit = edit / jnp.linalg.norm(edit, axis=-1, keepdims=True)
+    cos = jnp.sum(edit * text_direction, axis=-1)
+    return (1.0 - cos).mean()
+
+
+def vgg_perceptual_loss(vgg_params: Params, rgb_pred: jnp.ndarray,
+                        rgb_gt: jnp.ndarray) -> jnp.ndarray:
+    """L1 on VGG16 block-2 features after ImageNet normalize + bilinear 224
+    (reference perp_loss.py:28-57: only block index 2 contributes)."""
+    mean = jnp.asarray(vgg_mod.IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(vgg_mod.IMAGENET_STD).reshape(1, 3, 1, 1)
+    x = resize2d((rgb_pred - mean) / std, (224, 224), mode="bilinear")
+    y = resize2d((rgb_gt - mean) / std, (224, 224), mode="bilinear")
+    fx = vgg_mod.vgg16_block_features(vgg_params, x)
+    fy = vgg_mod.vgg16_block_features(vgg_params, y)
+    return jnp.abs(fx[2] - fy[2]).mean()
+
+
+def global_contrastive_loss(clip_params: Params, rgb_gt: jnp.ndarray,
+                            rgb_pred: jnp.ndarray,
+                            target_feats: jnp.ndarray,
+                            neg_feat: jnp.ndarray,
+                            margin: float = 2.0) -> jnp.ndarray:
+    """Margin-2 euclidean triplet on CLIP features
+    (reference contrastive_loss.py:139-153, 'euclidean'):
+    pull pred toward target-text templates, push from (negative text,
+    original image)."""
+    src_enc = _img_features(clip_params, pp.preprocess_shorter_crop224(
+        pp.gan_unnormalize(rgb_gt)))
+    tgt_enc = _img_features(clip_params, pp.preprocess_shorter_crop224(
+        pp.gan_unnormalize(rgb_pred)))
+    d_near = jnp.linalg.norm(tgt_enc - target_feats, axis=-1)        # [T]
+    d_far_text = jnp.linalg.norm(tgt_enc - neg_feat, axis=-1)        # [T]
+    d_far_img = jnp.linalg.norm(tgt_enc - src_enc, axis=-1)          # [1]
+    return jnp.mean(d_near ** 2
+                    + jnp.clip(margin - d_far_text, a_min=0.0) ** 2
+                    + jnp.clip(margin - d_far_img, a_min=0.0) ** 2)
+
+
+def _patch_infonce(clip_params, patch, target_feats, neg_feats,
+                   temperature=0.07):
+    """Per-patch InfoNCE vs target (pos) and negative texts
+    (reference patchnce_loss.py:153-173)."""
+    enc = _img_features(clip_params, pp.clip_normalize(patch))
+    cos_near = jnp.sum(enc * target_feats, axis=-1)                   # [T]
+    pos = jnp.exp(cos_near / temperature)
+    cos_far = jnp.einsum("bd,ntd->nt", enc, neg_feats)                # [N, T]
+    negs = jnp.exp(cos_far / temperature).sum(axis=0)                 # [T]
+    return jnp.mean(-jnp.log(pos / (pos + negs)))
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchNCECfg:
+    """Geometry of the patch sampling (reference patchnce_loss.py:107-216).
+
+    The zero-pad is the reference's final hardcoded value (l,r,t,b) =
+    (270, 270, 480, 480) (patchnce_loss.py:114); target_hw is the full-res
+    dataset size; is_full_res selects 224 vs 112->224 patches."""
+    target_h: int = 960
+    target_w: int = 540
+    pad_lr: int = 270
+    pad_tb: int = 480
+    n_patches: int = 12
+    is_full_res: bool = False
+
+    @property
+    def patch_size(self) -> int:
+        return 224 if self.is_full_res else 112
+
+    def crop_bounds(self) -> Tuple[int, int, int, int]:
+        """(i_lo, i_hi, j_lo, j_hi) exclusive-hi randint bounds
+        (patchnce_loss.py:196-211)."""
+        H, W, th = self.target_h, self.target_w, self.patch_size
+        if H != W:
+            m = 200 if self.is_full_res else 100
+        else:
+            m = 80 if self.is_full_res else 40
+        return m, H - th + 1 - m, 0, W - th + 1
+
+
+def patchnce_loss(clip_params: Params, rgb_pred: jnp.ndarray,
+                  target_feats: jnp.ndarray, neg_feats: jnp.ndarray,
+                  key: jax.Array, cfg: PatchNCECfg) -> jnp.ndarray:
+    """Local PatchNCE (reference patchnce_loss.py:175-220)."""
+    img = pp.gan_unnormalize(rgb_pred)
+    img = jnp.pad(img, ((0, 0), (0, 0), (cfg.pad_tb, cfg.pad_tb),
+                        (cfg.pad_lr, cfg.pad_lr)))
+    img = resize2d(img, (cfg.target_h, cfg.target_w), mode="bicubic")
+
+    th = cfg.patch_size
+    i_lo, i_hi, j_lo, j_hi = cfg.crop_bounds()
+    ki, kj = jax.random.split(key)
+    iis = jax.random.randint(ki, (cfg.n_patches,), i_lo, i_hi)
+    jjs = jax.random.randint(kj, (cfg.n_patches,), j_lo, j_hi)
+
+    def one_patch(carry, ij):
+        i, j = ij
+        patch = jax.lax.dynamic_slice(
+            img, (0, 0, i, j), (img.shape[0], 3, th, th))
+        if not cfg.is_full_res:
+            patch = resize2d(patch, (224, 224), mode="bicubic")
+        loss = _patch_infonce(clip_params, patch, target_feats, neg_feats)
+        return carry + loss, None
+
+    total, _ = jax.lax.scan(one_patch, jnp.float32(0.0), (iis, jjs))
+    return total
+
+
+def infonce_loss(clip_params: Params, rgb_pred: jnp.ndarray,
+                 target_feats: jnp.ndarray, neg_feats: jnp.ndarray,
+                 temperature: float = 0.07) -> jnp.ndarray:
+    """Whole-image text-negative InfoNCE (reference criteria/
+    infonce_loss.py:90-162; not wired into the reference trainer — kept for
+    capability parity with the NeRF_pl variant)."""
+    enc = _img_features(clip_params, pp.preprocess_shorter_crop224(
+        pp.gan_unnormalize(rgb_pred)))
+    cos_near = jnp.sum(enc * target_feats, axis=-1)
+    pos = jnp.exp(cos_near / temperature)
+    cos_far = jnp.einsum("bd,ntd->nt", enc, neg_feats)
+    negs = jnp.exp(cos_far / temperature).sum(axis=0)
+    return jnp.mean(-jnp.log(pos / (pos + negs)))
+
+
+# --------------------------------------------------------------------------
+# weights regularizers (reference criteria/weights*.py — NeRF_pl-variant
+# optional losses, not imported by the reference trainer; kept for parity)
+# --------------------------------------------------------------------------
+
+def weights_loss(weights: jnp.ndarray, deltas: jnp.ndarray, key: jax.Array,
+                 start: int = 0, end: int = 192) -> jnp.ndarray:
+    """Random-pair weight-product x distance (reference weights_loss.py:32-66)."""
+    k1, k2 = jax.random.split(key)
+    x1 = jax.random.randint(k1, (), start, end - 1)
+    x2 = jax.random.randint(k2, (), x1 + 1, end)
+    idx = jnp.arange(weights.shape[-1])
+    seg = jnp.where((idx >= x1) & (idx < x2), deltas, 0.0)
+    distance = seg.sum(axis=-1)
+    w1 = jnp.take_along_axis(weights, x1[None].repeat(weights.shape[0])[:, None],
+                             axis=-1)[:, 0]
+    w2 = jnp.take_along_axis(weights, x2[None].repeat(weights.shape[0])[:, None],
+                             axis=-1)[:, 0]
+    return jnp.mean(w1 * w2 * distance)
+
+
+def weights_sum_loss(weights: jnp.ndarray, avg: jnp.ndarray, key: jax.Array,
+                     steps: int = 20, start: int = 50, mask_split: int = 185,
+                     end: int = 192) -> jnp.ndarray:
+    """MSE-to-average split loss (reference weights_sum_loss.py:32-55)."""
+    keys = jax.random.split(key, 2 * steps)
+    total = jnp.float32(0.0)
+    for s in range(steps):
+        x1 = jax.random.randint(keys[2 * s], (), start, mask_split)
+        x2 = jax.random.randint(keys[2 * s + 1], (), mask_split, end)
+        w1 = jnp.take_along_axis(weights, jnp.broadcast_to(
+            x1, (weights.shape[0], 1)), axis=-1)[:, 0]
+        w2 = jnp.take_along_axis(weights, jnp.broadcast_to(
+            x2, (weights.shape[0], 1)), axis=-1)[:, 0]
+        total = total + ((w1 - avg) ** 2).mean() - ((w2 - w1) ** 2).mean()
+    return total
+
+
+def weights_reg_loss(weights: jnp.ndarray, H: int, W: int, key: jax.Array,
+                     window: int = 20) -> jnp.ndarray:
+    """Neighbor-ray weight MSE in a random window (reference
+    weightsreg_loss.py:20-41), vectorized over the window."""
+    weights = weights.reshape(H, W, -1)
+    kx, ky = jax.random.split(key)
+    x = jax.random.randint(kx, (), 0, H - window)
+    y = jax.random.randint(ky, (), 0, W - window)
+    win = jax.lax.dynamic_slice(weights, (x, y, 0),
+                                (window, window, weights.shape[-1]))
+    dx = ((win[:-1, :-1] - win[1:, :-1]) ** 2).mean(axis=-1)
+    dy = ((win[:-1, :-1] - win[:-1, 1:]) ** 2).mean(axis=-1)
+    return (dx + dy).sum()

@@ -73,12 +73,9 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
     target_rgb = batch["rgb"]
 
     # ---------------- pass 1: no-grad full render (volsdf.py:724-729)
-    is_volsdf = fcfg.framework.lower() == "volsdf"
-    p1_kw = dict(detailed_output=False, calc_normal=False,
-                 rays_chunk=fcfg.render_chunk)
-    if is_volsdf:
-        p1_kw["require_nablas"] = False
-    rcfg_p1 = dataclasses.replace(rcfg, **p1_kw)
+    rcfg_p1 = dataclasses.replace(
+        rcfg, detailed_output=False, calc_normal=False,
+        require_nablas=False, rays_chunk=fcfg.render_chunk)
     rgb, _, _ = render(jax.lax.stop_gradient(params), rays_o, rays_d,
                        mcfg, rcfg_p1, key=k_r1)
     rgb = jax.lax.stop_gradient(rgb)
@@ -110,10 +107,9 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
     g_b = pad_blocks(rgb_grad, zero_tail=True)
     keys_b = jax.random.split(k_r2, n_blocks)
 
-    p2_kw = dict(detailed_output=True, calc_normal=False, rays_chunk=None)
-    if is_volsdf:
-        p2_kw["require_nablas"] = True
-    rcfg_p2 = dataclasses.replace(rcfg, **p2_kw)
+    rcfg_p2 = dataclasses.replace(
+        rcfg, detailed_output=True, calc_normal=False,
+        require_nablas=True, rays_chunk=None)
 
     zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
 

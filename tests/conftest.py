@@ -7,7 +7,10 @@ testable on real hardware, cf. SURVEY.md §4).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the ambient environment sets JAX_PLATFORMS=axon (the tunneled
+# TPU), which must never be used by the test suite (single shared chip,
+# and eager dispatch over the tunnel is pathologically slow).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -71,7 +71,7 @@ def test_nerf_bg_parity(golden):
     np.testing.assert_allclose(rgb, g["rgb"], atol=1e-5)
 
 
-def test_roundtrip_torch_layout(golden):
+def test_roundtrip_torch_layout(golden, tmp_path):
     g = golden("volsdf_render")
     sd = {k[len("param::"):]: v for k, v in g.items() if k.startswith("param::")}
     sd = {k: v for k, v in sd.items()
@@ -82,6 +82,15 @@ def test_roundtrip_torch_layout(golden):
     for k in sd:
         np.testing.assert_allclose(back[k].reshape(sd[k].shape), sd[k],
                                    atol=1e-7)
+    # full .pt save/load roundtrip through torch serialization
+    pytest.importorskip("torch")
+    path = str(tmp_path / "export.pt")
+    conv.save_torch_pt(params, path, "volsdf", global_step=5)
+    params2 = conv.load_torch_pt(path, "volsdf")
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(b).shape),
+                                   np.asarray(b), atol=1e-7)
 
 
 def test_geometric_init_sphere():
