@@ -24,6 +24,12 @@ import pytest
 
 import jax
 
+# Belt and braces: if jax was imported before this conftest (pytest plugin
+# autoload), it already captured JAX_PLATFORMS=axon from the ambient env at
+# import time — override via config, which wins as long as no backend has
+# been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare against torch-f32 golden data; XLA's reduced default
 # matmul precision would dominate the tolerance budget.
 jax.config.update("jax_default_matmul_precision", "highest")

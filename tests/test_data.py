@@ -14,7 +14,8 @@ def test_dtu_dataset_loads():
     from nerfart_tpu.data.dtu import SceneDataset
 
     ds = SceneDataset(False, DATA, downscale=16, scale_radius=3.0)
-    assert len(ds) == 101
+    # the scene ships 100 pngs (plus a stray txt in images/)
+    assert len(ds) == 100
     assert (ds.H, ds.W) == (60, 34) or ds.H * ds.W > 0
     idx, sample, gt = ds[0]
     assert sample["intrinsics"].shape == (4, 4)
@@ -25,7 +26,7 @@ def test_dtu_dataset_loads():
     centers = np.stack([c[:3, 3] for c in ds.c2w_all])
     assert np.linalg.norm(centers, axis=-1).max() <= 3.0 + 1e-5
     # masks loaded from matte/
-    assert len(ds.object_masks) == 101
+    assert len(ds.object_masks) == 100
     assert ds.object_masks[0].dtype == bool
 
 
@@ -35,7 +36,7 @@ def test_get_data_dispatch():
     args = {"data": {"type": "DTU", "data_dir": DATA, "downscale": 16,
                      "scale_radius": 3.0}}
     train, val = get_data(args, return_val=True, val_downscale=16)
-    assert len(train) == len(val) == 101
+    assert len(train) == len(val) == 100
 
 
 def test_colmap_reader():
