@@ -20,14 +20,13 @@ with zero host round-trips and full XLA overlap between blocks.
 """
 import dataclasses
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from nerfart_tpu.criteria.style import StyleCfg, style_loss
-from nerfart_tpu.models import base as nets
 from nerfart_tpu.models import neus as neus_fw
 from nerfart_tpu.models import volsdf as volsdf_fw
 from nerfart_tpu.ops import rays as ray_ops

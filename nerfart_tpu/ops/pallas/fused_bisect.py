@@ -24,8 +24,6 @@ the axon-tunneled device in round-1 testing; needs on-metal debugging
 before becoming the default.
 """
 import functools
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ This module works from a flat `{name: np.ndarray}` dict so it has no hard
 torch dependency; `load_torch_pt` wraps torch.load when torch is available.
 """
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np
