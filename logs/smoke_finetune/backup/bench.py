@@ -38,8 +38,10 @@ def main():
                                      use_view_dirs=True))
     params = V.init_volsdf(jax.random.PRNGKey(42), mcfg)
 
-    H, W = 270, 480
-    rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 4320))
+    # the reference's headline render is --H 480 --W 270 (README.md:60-65)
+    H, W = 480, 270
+    # defaults from the round-1 sweep on v5e: chunk ~1080 + bf16 sampler won
+    rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 1080))
     sampler_dtype = os.environ.get("BENCH_SAMPLER_DTYPE", "bfloat16")
     sampler_backend = os.environ.get("BENCH_SAMPLER_BACKEND", "xla")
     rcfg = V.VolSDFRenderCfg(
@@ -85,5 +87,41 @@ def main():
     }))
 
 
+def _guarded():
+    """Run the benchmark in a child with a deadline: the tunneled TPU
+    backend can wedge indefinitely (observed in round 1), and the driver
+    needs a JSON line either way."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_INNER="1")
+    deadline = int(os.environ.get("BENCH_DEADLINE_SEC", 2400))
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=deadline)
+        line = ""
+        for l in (out.stdout or "").splitlines():
+            if l.startswith("{"):
+                line = l
+        if line:
+            print(line)
+            return
+        sys.stderr.write(out.stderr[-2000:] if out.stderr else "")
+        print(json.dumps({"metric": "volsdf_render_rays_per_sec",
+                          "value": 0.0, "unit": "rays/s",
+                          "vs_baseline": 0.0,
+                          "error": "bench subprocess produced no result"}))
+    except subprocess.TimeoutExpired:
+        print(json.dumps({"metric": "volsdf_render_rays_per_sec",
+                          "value": 0.0, "unit": "rays/s",
+                          "vs_baseline": 0.0,
+                          "error": f"timeout after {deadline}s "
+                                   "(TPU backend unresponsive)"}))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER"):
+        main()
+    else:
+        _guarded()

@@ -10,7 +10,7 @@ patch crop positions) — CLIP/VGG forward+backward never leave the device.
 Reference semantics preserved per function (file:line cited inline).
 """
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

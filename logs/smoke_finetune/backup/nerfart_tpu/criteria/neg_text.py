@@ -6,7 +6,7 @@ stylization target text are removed from the negative pool so the model is
 not pushed away from the style it is being pulled toward.
 """
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 DEFAULT_PATH = os.path.join(os.path.dirname(__file__), "neg_text.txt")
 

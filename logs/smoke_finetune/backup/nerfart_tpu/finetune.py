@@ -20,14 +20,13 @@ with zero host round-trips and full XLA overlap between blocks.
 """
 import dataclasses
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from nerfart_tpu.criteria.style import StyleCfg, style_loss
-from nerfart_tpu.models import base as nets
 from nerfart_tpu.models import neus as neus_fw
 from nerfart_tpu.models import volsdf as volsdf_fw
 from nerfart_tpu.ops import rays as ray_ops
@@ -73,9 +72,12 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
     target_rgb = batch["rgb"]
 
     # ---------------- pass 1: no-grad full render (volsdf.py:724-729)
-    rcfg_p1 = dataclasses.replace(
-        rcfg, detailed_output=False, calc_normal=False,
-        require_nablas=False, rays_chunk=fcfg.render_chunk)
+    is_volsdf = fcfg.framework.lower() == "volsdf"
+    p1_kw = dict(detailed_output=False, calc_normal=False,
+                 rays_chunk=fcfg.render_chunk)
+    if is_volsdf:
+        p1_kw["require_nablas"] = False
+    rcfg_p1 = dataclasses.replace(rcfg, **p1_kw)
     rgb, _, _ = render(jax.lax.stop_gradient(params), rays_o, rays_d,
                        mcfg, rcfg_p1, key=k_r1)
     rgb = jax.lax.stop_gradient(rgb)
@@ -107,9 +109,10 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
     g_b = pad_blocks(rgb_grad, zero_tail=True)
     keys_b = jax.random.split(k_r2, n_blocks)
 
-    rcfg_p2 = dataclasses.replace(
-        rcfg, detailed_output=True, calc_normal=False,
-        require_nablas=True, rays_chunk=None)
+    p2_kw = dict(detailed_output=True, calc_normal=False, rays_chunk=None)
+    if is_volsdf:
+        p2_kw["require_nablas"] = True
+    rcfg_p2 = dataclasses.replace(rcfg, **p2_kw)
 
     zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
 

@@ -7,7 +7,7 @@ train/test render configs. (The reference raises NotImplementedError for
 UNISURF in dispatch; here it is wired, since the framework exists.)
 """
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 

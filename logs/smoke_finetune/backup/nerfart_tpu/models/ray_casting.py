@@ -6,7 +6,6 @@ as fixed-iteration fully-masked jit programs: the reference's boolean-mask
 scatter updates become jnp.where selects over all rays (uniform work, no
 dynamic shapes).
 """
-import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -25,7 +25,6 @@ import numpy as np
 
 from nerfart_tpu.models import base as nets
 from nerfart_tpu.ops import compositing, rays as ray_ops, volsdf_math
-from nerfart_tpu.ops.embedder import fourier_embed
 
 Params = Any
 

@@ -7,7 +7,7 @@ Reproduces the reference's exact shifted-cumprod conventions with the
 - NeuS/UNISURF: w = alpha * cumprod(shifted (1 - alpha + 1e-10))
   (reference neus.py:65-78).
 """
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ reference (reference utils/rend_util.py:95-235), including:
 All functions are jit-friendly with static shapes; random sampling takes an
 explicit `jax.random` key instead of global RNG state.
 """
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -37,6 +37,21 @@ def init_distributed():
         jax.distributed.initialize()
 
 
+def get_rank() -> int:
+    """Process index (reference utils/dist_util.py get_rank)."""
+    return jax.process_index()
+
+
+def get_world_size() -> int:
+    """Process count (reference dist_util.py get_world_size)."""
+    return jax.process_count()
+
+
+def is_master() -> bool:
+    """(reference dist_util.py is_master)."""
+    return jax.process_index() == 0
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     """1-D mesh over (up to) all local devices."""
     devices = jax.devices()

@@ -9,7 +9,6 @@ mesh the batch shards over rays with XLA inserting the gradient
 all-reduce (the TPU equivalent of the reference's DDP, SURVEY.md §2.6).
 """
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -14,7 +14,7 @@ The reference's YAML configs (configs/*.yaml) load unchanged.
 import argparse
 import copy
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import yaml
 

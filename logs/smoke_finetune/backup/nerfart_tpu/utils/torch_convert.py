@@ -9,7 +9,7 @@ This module works from a flat `{name: np.ndarray}` dict so it has no hard
 torch dependency; `load_torch_pt` wraps torch.load when torch is available.
 """
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +118,18 @@ def model_params_to_torch(params: Any, framework: str) -> Dict[str, np.ndarray]:
             if key in bg:
                 put_layer(f"nerf_outside.{name}", bg[key])
     return sd
+
+
+def save_torch_pt(params: Any, path: str, framework: str,
+                  global_step: int = 0, epoch_idx: int = 0):
+    """Export params back to the reference's .pt layout (torch required),
+    so checkpoints trained here load in the PyTorch reference."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in model_params_to_torch(params, framework).items()}
+    torch.save({"model": sd, "global_step": global_step,
+                "epoch_idx": epoch_idx}, path)
 
 
 def load_torch_pt(path: str, framework: str,

@@ -235,9 +235,20 @@ def main_function(args):
                         ret["mask_volume"][..., None]),
                         "val/pred_mask_volume", it)
                     if "beta_map" in ret:
+                        # beta heat map + upsample-iteration map (reference
+                        # Trainer.val, volsdf.py:840-876)
+                        beta_map = np.asarray(ret["beta_map"])
                         logger.add("val", "beta_mean",
-                                   float(np.asarray(ret["beta_map"]).mean()),
-                                   it)
+                                   float(beta_map.mean()), it)
+                        bm = beta_map.reshape(1, -1, 1)
+                        rng_ = bm.max() - bm.min() + 1e-10
+                        logger.add_imgs(to_img(
+                            (bm - bm.min()) / rng_), "val/beta_heat_map", it)
+                        iu = np.asarray(ret["iter_usage"]).reshape(1, -1, 1)
+                        max_iter = val_rcfg.max_upsample_steps
+                        iu = np.where(iu < 0, max_iter + 1, iu)
+                        logger.add_imgs(to_img(iu / (max_iter + 1)),
+                                        "val/upsample_iters", it)
 
                 # ---------------- validate mesh (train.py:213-222)
                 if (I_VAL_MESH > 0
