@@ -22,6 +22,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from nerfart_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
+
     from nerfart_tpu.models import base as nets
     from nerfart_tpu.models import volsdf as V
     from nerfart_tpu.ops.rays import get_rays

@@ -17,6 +17,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nerfart_tpu.utils.platform import apply_env_platform
+apply_env_platform()
+
 from nerfart_tpu.data import get_data
 from nerfart_tpu.frameworks import get_model
 from nerfart_tpu.utils import camera_paths
@@ -108,6 +111,22 @@ def main_function(args):
                 calc_normal=True, ray_casting_algo=use_surface,
                 near=0.0, far=float(far), rays_chunk=args.rayschunk)
             return color, depth, extras["normals_surface"]
+    elif args.wavefront and bundle.name == "volsdf":
+        # adaptive two-stage rendering: full budget only for rays the
+        # 1-iteration pass left unconverged (models/wavefront.py)
+        from nerfart_tpu.models.wavefront import wavefront_render
+        rcfg = bundle.make_render_cfg(
+            test=True, rays_chunk=args.rayschunk, calc_normal=True,
+            detailed_output=True, require_nablas=True)
+
+        def render_view(c2w):
+            rays_o, rays_d, _ = get_rays(c2w[None], jnp.asarray(intrinsics)[None],
+                                         H, W, N_rays=-1)
+            rgb, depth, extras = wavefront_render(
+                params, rays_o[0], rays_d[0], bundle.mcfg, rcfg,
+                stage1_steps=args.wavefront_stage1)
+            return rgb, depth, extras.get("normals_volume",
+                                          np.zeros_like(rgb))
     else:
         rcfg = bundle.make_render_cfg(
             test=True, rays_chunk=args.rayschunk, calc_normal=True,
@@ -148,7 +167,7 @@ def main_function(args):
             imageio.imwrite(
                 os.path.join(outdir, "rgb", f"{i + 1:05d}.png"), rgb_img)
         rgb_imgs.append(rgb_img)
-        depth_imgs.append(integerify(depth))
+        depth_imgs.append(np.repeat(integerify(depth), 3, axis=-1))
         normal_imgs.append(integerify(normals / 2.0 + 0.5))
 
     name = args.exp_name or args["expname"]
@@ -204,6 +223,10 @@ if __name__ == "__main__":
     parser.add_argument("--outbase", type=str, default=None)
     parser.add_argument("--use_surface_render", type=str, default=None,
                         help="[sphere_tracing, root_finding]")
+    parser.add_argument("--wavefront", action="store_true",
+                        help="VolSDF: adaptive two-stage rendering (full "
+                             "sampler budget only for unconverged rays)")
+    parser.add_argument("--wavefront_stage1", type=int, default=1)
     parser.add_argument("--exp_name", type=str, default=None)
     parser.add_argument("--rot_rad", type=float, default=0.3)
     parser.add_argument("--rot_percentile", type=int, default=85)

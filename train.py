@@ -18,6 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nerfart_tpu.utils.platform import apply_env_platform
+apply_env_platform()
+
 from nerfart_tpu import training
 from nerfart_tpu.data import get_data
 from nerfart_tpu.frameworks import get_model
@@ -277,6 +280,16 @@ def main_function(args):
                 start_time = time.time()
                 batch = stage_batch(model_input, ground_truth)
                 k_step = jax.random.fold_in(k_train, it)
+                # profiler trace window (reference has no profiler; here:
+                # --profile_start/--profile_steps dump a jax trace)
+                if args.profile_steps > 0 and it == args.profile_start:
+                    jax.profiler.start_trace(
+                        os.path.join(exp_dir, "profile"))
+                if (args.profile_steps > 0
+                        and it == args.profile_start + args.profile_steps):
+                    jax.profiler.stop_trace()
+                    log.info("=> Wrote profiler trace to %s",
+                             os.path.join(exp_dir, "profile"))
                 if is_finetune:
                     params, opt_state, losses = step_fn(
                         params, opt_state, batch, k_step)
@@ -330,6 +343,10 @@ if __name__ == "__main__":
                         help="kept for reference-CLI compatibility; "
                              "multi-chip runs shard via jax Mesh instead")
     parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--profile_start", type=int, default=5)
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="if >0, write a jax profiler trace covering "
+                             "this many steps starting at --profile_start")
     cli_args, unknown = parser.parse_known_args()
     config = load_config(cli_args, unknown)
     main_function(config)
