@@ -315,6 +315,24 @@ def main_function(args):
                                float(np.asarray(grad_norm)), it)
                 logger.add("learning rates", "whole",
                            float(np.asarray(schedule(it))), it)
+                # extras stats: mean/min/max/norm (reference train.py:294-306)
+                if not is_finetune and it % 10 == 0:
+                    for n in ["radiance", "alpha", "implicit_surface",
+                              "implicit_nablas_norm"]:
+                        if n in aux:
+                            v = np.asarray(aux[n])
+                            logger.add(f"extras_{n}", "whole.mean",
+                                       float(v.mean()), it)
+                            logger.add(f"extras_{n}", "whole.min",
+                                       float(v.min()), it)
+                            logger.add(f"extras_{n}", "whole.max",
+                                       float(v.max()), it)
+                            logger.add(f"extras_{n}", "whole.norm",
+                                       float(np.linalg.norm(v)), it)
+                    if "beta_map" in aux:
+                        logger.add("scalars", "beta",
+                                   float(np.asarray(aux["beta_map"]).mean()),
+                                   it)
                 log.debug("=> One iteration time is %.2f",
                           time.time() - start_time)
                 if it % 10 == 0:
