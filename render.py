@@ -76,6 +76,9 @@ def main_function(args):
     log.info("=> Rendering resolution @ [%d x %d]", H, W)
 
     c2ws = np.stack(dataset.c2w_all, axis=0)
+    if args.poses_avg == "mean":
+        # render_view_.py variant: average all poses instead of pose 0
+        camera_paths.poses_avg = camera_paths.poses_avg_mean
     render_c2ws = camera_paths.generate_camera_path(
         args.camera_path, c2ws, args.num_views, args.camera_inds,
         args.rot_percentile, args.rot_rad)
@@ -227,6 +230,11 @@ if __name__ == "__main__":
                         help="VolSDF: adaptive two-stage rendering (full "
                              "sampler budget only for unconverged rays)")
     parser.add_argument("--wavefront_stage1", type=int, default=1)
+    parser.add_argument("--poses_avg", type=str, default="first",
+                        choices=["first", "mean"],
+                        help="spiral center pose: reference render.py uses "
+                             "pose 0 ('first'); tools/render_view_.py uses "
+                             "the mean of all poses")
     parser.add_argument("--exp_name", type=str, default=None)
     parser.add_argument("--rot_rad", type=float, default=0.3)
     parser.add_argument("--rot_percentile", type=int, default=85)
