@@ -53,7 +53,10 @@ def forward(params: Params, x: jnp.ndarray, view_dirs: jnp.ndarray,
             cfg: UNISURFCfg):
     """(radiances, occ_logits, nablas); normals normalized before feeding
     the radiance net since OccNet nablas have no unit-norm guarantee
-    (unisurf.py:34-38)."""
+    (unisurf.py:34-38). Deliberate deviation: the reference's
+    `F.normalize(nablas)` uses torch's default dim=1, normalizing across
+    the netchunk point axis (a chunk-size-dependent accident); here
+    normals are unit-normalized per point, as intended."""
     occ, nablas, h = nets.implicit_surface_with_nablas(
         params["implicit_surface"], x, cfg.surface)
     normals = nablas / jnp.linalg.norm(nablas, axis=-1,
