@@ -6,6 +6,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from nerfart_tpu.utils.platform import apply_env_platform  # noqa: E402
+apply_env_platform()
+
 import jax
 import jax.numpy as jnp
 

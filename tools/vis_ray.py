@@ -7,6 +7,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from nerfart_tpu.utils.platform import apply_env_platform  # noqa: E402
+apply_env_platform()
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", type=str,
