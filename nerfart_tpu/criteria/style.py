@@ -42,6 +42,8 @@ def style_loss(clip_params: Params, vgg_params: Params, bank: L.TextBank,
 
     k_con, k_pnce_sel, k_pnce = jax.random.split(key, 3)
     n_neg = bank.neg_feats.shape[0]
+    assert n_neg > 0, ("style_loss needs a non-empty negative text bank "
+                       "(criteria/neg_text.txt)")
 
     losses = {}
     losses["clip"] = cfg.w_clip * L.directional_clip_loss(

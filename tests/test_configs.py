@@ -1,0 +1,69 @@
+"""The shipped reference-format YAML configs build the right models."""
+import os
+
+import pytest
+
+from nerfart_tpu.frameworks import get_model
+from nerfart_tpu.utils.config import load_yaml
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_volsdf_nature_config():
+    args = load_yaml(os.path.join(CFG_DIR, "volsdf_fangzhou_nature.yaml"))
+    bundle = get_model(args)
+    assert bundle.name == "volsdf"
+    m = bundle.mcfg
+    assert m.obj_bounding_radius == 3.0
+    assert m.speed_factor == 10.0
+    assert m.surface.D == 8 and m.surface.W == 256
+    assert m.surface.skips == (4,)
+    assert m.surface.embed_multires == 6
+    assert m.radiance.D == 4
+    assert m.radiance.embed_multires == -1
+    assert m.radiance.use_view_dirs
+    assert not m.use_nerfplusplus
+    rcfg = bundle.make_render_cfg(test=False)
+    assert rcfg.max_upsample_steps == 6
+    assert rcfg.perturb
+    assert rcfg.near == 0.0 and rcfg.far == 6.0
+    rcfg_t = bundle.make_render_cfg(test=True)
+    assert not rcfg_t.perturb
+
+
+def test_neus_config():
+    args = load_yaml(os.path.join(CFG_DIR, "neus_fangzhou.yaml"))
+    bundle = get_model(args)
+    assert bundle.name == "neus"
+    m = bundle.mcfg
+    assert m.obj_bounding_radius == 1.0
+    assert m.variance_init == 0.05
+    assert m.surface.radius_init == 0.5
+    assert m.radiance.embed_multires_view == 4
+    assert not m.use_outside_nerf  # with_mask: True
+    rcfg = bundle.make_render_cfg(test=False)
+    assert rcfg.upsample_algo == "official_solution"
+    assert rcfg.N_upsample_iters == 4
+
+
+def test_finetune_config_sections():
+    args = load_yaml(os.path.join(CFG_DIR, "volsdf_fangzhou_vangogh.yaml"))
+    assert args.training.is_finetune
+    f = args.finetune
+    assert f.num_iters == 400
+    assert f.w_clip == 1.0 and f.w_perceptual == 2.0
+    assert f.w_contrastive == 0.2 and f.w_patchnce == 0.1
+    assert f.use_eikonal
+    assert "van gogh" in f.target_text.lower()
+
+    args2 = load_yaml(os.path.join(CFG_DIR, "neus_fangzhou_vangogh.yaml"))
+    assert args2.finetune.w_perceptual == 1.1
+
+
+def test_all_configs_parse_and_dispatch():
+    for name in os.listdir(CFG_DIR):
+        if not name.endswith(".yaml"):
+            continue
+        args = load_yaml(os.path.join(CFG_DIR, name))
+        bundle = get_model(args)
+        assert bundle.name in ("volsdf", "neus", "unisurf"), name
