@@ -146,8 +146,11 @@ def fine_sample(
 
     for it in range(1, max_iter + 1):
         active = ~converged
+        carry = (d_vals, sdf, bounds, beta, converged, final_fine, iter_usage)
 
-        def do_iter(d_vals, sdf, bounds):
+        def do_iter(carry, it=it):
+            d_vals, sdf, bounds, beta, converged, final_fine, iter_usage = carry
+            active = ~converged
             # upsample proportionally to the error bound; det=True with the
             # endpoint trim (volsdf.py:196). NOTE: a merge of the two sorted
             # sequences (ops/sampling.merge_sorted) was benchmarked against
@@ -157,75 +160,92 @@ def fine_sample(
             d_new = jnp.concatenate([d_vals, up_d], axis=-1)
             sdf_new = jnp.concatenate([sdf, up_sdf], axis=-1)
             order = jnp.argsort(d_new, axis=-1)
-            d_new = jnp.take_along_axis(d_new, order, axis=-1)
-            sdf_new = jnp.take_along_axis(sdf_new, order, axis=-1)
-            return d_new, sdf_new
+            d_vals = jnp.take_along_axis(d_new, order, axis=-1)
+            sdf = jnp.take_along_axis(sdf_new, order, axis=-1)
 
-        def skip_iter(d_vals, sdf, bounds):
-            # shape-preserving no-op: pad with the last sample (zero-width
-            # tail intervals; rays taking this path are already converged
-            # and all their outputs are frozen by `where`s below).
+            if fused_bisect:
+                # one Pallas kernel: convergence check + 10-step bisection
+                # + next-iteration bounds, with (d, sdf) VMEM-resident
+                # (ops/pallas/fused_bisect.py). Kernel bounds use beta_right
+                # for ALL rays; they differ from the unfused path only on
+                # already-converged rays, whose outputs are frozen.
+                from nerfart_tpu.ops.pallas.fused_bisect import \
+                    get_fused_bisect
+                cur_n = d_vals.shape[-1]
+                fn = get_fused_bisect(cur_n, max_bisection, float(eps))
+                nbm_f, beta_right_f, bounds_f = fn(
+                    d_vals.reshape(-1, cur_n), sdf.reshape(-1, cur_n),
+                    beta.reshape(-1, 1), alpha_net, beta_net)
+                net_bounds_max = nbm_f.reshape(prefix)
+                beta_right = beta_right_f.reshape(*prefix, 1)
+                bounds = bounds_f.reshape(*prefix, cur_n - 1)
+                newly = active & (net_bounds_max <= eps)
+                cand = opacity_invert_cdf_sample(
+                    d_vals, sdf, alpha_net, beta_net, final_N_importance,
+                    det=not perturb, key=keys[it])
+                final_fine = jnp.where(newly[..., None], cand, final_fine)
+                iter_usage = jnp.where(newly, float(it), iter_usage)
+                converged = converged | newly
+                still = active & ~newly
+                beta = jnp.where(still[..., None], beta_right, beta)
+            else:
+                # convergence check after upsampling (volsdf.py:240-251)
+                net_bounds_max = error_bound(
+                    d_vals, sdf, alpha_net, beta_net).max(axis=-1)
+                newly = active & (net_bounds_max <= eps)
+                cand = opacity_invert_cdf_sample(
+                    d_vals, sdf, alpha_net, beta_net, final_N_importance,
+                    det=not perturb, key=keys[it])
+                final_fine = jnp.where(newly[..., None], cand, final_fine)
+                iter_usage = jnp.where(newly, float(it), iter_usage)
+                converged = converged | newly
+                still = active & ~newly
+
+                # bisection for beta+ s.t. bound(beta+)==eps (volsdf.py:255-275)
+                beta_right = beta
+                beta_left = jnp.broadcast_to(
+                    jnp.asarray(beta_net, dtype), beta.shape)
+                for _ in range(max_bisection):
+                    beta_tmp = 0.5 * (beta_left + beta_right)
+                    btm = error_bound(
+                        d_vals, sdf, 1.0 / beta_tmp, beta_tmp).max(
+                            axis=-1, keepdims=True)
+                    beta_right = jnp.where(btm <= eps, beta_tmp, beta_right)
+                    beta_left = jnp.where(btm > eps, beta_tmp, beta_left)
+                beta = jnp.where(still[..., None], beta_right, beta)
+
+                bounds = jnp.clip(
+                    error_bound(d_vals, sdf, 1.0 / beta, beta), 0, 1e5)
+            return (d_vals, sdf, bounds, beta, converged, final_fine,
+                    iter_usage)
+
+        def skip_iter(carry):
+            # all rays converged: grow shapes with zero-width tail padding
+            # and change nothing else — the entire iteration (MLP queries,
+            # sorts, cumsum chains, bisection) is skipped at runtime.
+            d_vals, sdf, bounds, beta, converged, final_fine, iter_usage = carry
             pad_d = jnp.repeat(d_vals[..., -1:], N_up, axis=-1)
             pad_s = jnp.repeat(sdf[..., -1:], N_up, axis=-1)
+            pad_b = jnp.zeros_like(bounds[..., -1:]).repeat(N_up, axis=-1)
             return (jnp.concatenate([d_vals, pad_d], axis=-1),
-                    jnp.concatenate([sdf, pad_s], axis=-1))
+                    jnp.concatenate([sdf, pad_s], axis=-1),
+                    jnp.concatenate([bounds, pad_b], axis=-1),
+                    beta, converged, final_fine, iter_usage)
 
-        d_vals, sdf = jax.lax.cond(jnp.any(active), do_iter, skip_iter, d_vals, sdf, bounds)
+        (d_vals, sdf, bounds, beta, converged, final_fine, iter_usage) = \
+            jax.lax.cond(jnp.any(active), do_iter, skip_iter, carry)
 
-        if fused_bisect:
-            # one Pallas kernel: convergence check + 10-step bisection +
-            # next-iteration bounds, with (d, sdf) resident in VMEM
-            # (ops/pallas/fused_bisect.py)
-            from nerfart_tpu.ops.pallas.fused_bisect import get_fused_bisect
-            cur_n = d_vals.shape[-1]
-            fn = get_fused_bisect(cur_n, max_bisection, float(eps))
-            nbm_f, beta_right_f, bounds_f = fn(
-                d_vals.reshape(-1, cur_n), sdf.reshape(-1, cur_n),
-                beta.reshape(-1, 1), alpha_net, beta_net)
-            net_bounds_max = nbm_f.reshape(prefix)
-            beta_right = beta_right_f.reshape(*prefix, 1)
-            bounds = bounds_f.reshape(*prefix, cur_n - 1)
-            newly = active & (net_bounds_max <= eps)
-            cand = opacity_invert_cdf_sample(
-                d_vals, sdf, alpha_net, beta_net, final_N_importance,
-                det=not perturb, key=keys[it])
-            final_fine = jnp.where(newly[..., None], cand, final_fine)
-            iter_usage = jnp.where(newly, float(it), iter_usage)
-            converged = converged | newly
-            still = active & ~newly
-            beta = jnp.where(still[..., None], beta_right, beta)
-            # kernel bounds were computed with beta_right for ALL rays;
-            # they differ from the unfused path only on already-converged
-            # rays, whose sampler outputs are frozen — never observable.
-        else:
-            # convergence check after upsampling (volsdf.py:240-251)
-            net_bounds_max = error_bound(d_vals, sdf, alpha_net, beta_net).max(axis=-1)
-            newly = active & (net_bounds_max <= eps)
-            cand = opacity_invert_cdf_sample(
-                d_vals, sdf, alpha_net, beta_net, final_N_importance,
-                det=not perturb, key=keys[it])
-            final_fine = jnp.where(newly[..., None], cand, final_fine)
-            iter_usage = jnp.where(newly, float(it), iter_usage)
-            converged = converged | newly
-            still = active & ~newly
+    # never-converged rays: final samples with the last beta+
+    # (volsdf.py:294-300); skipped entirely when every ray converged
+    def final_unconv(args):
+        d_vals, sdf, beta, final_fine = args
+        cand = opacity_invert_cdf_sample(
+            d_vals, sdf, 1.0 / beta, beta, final_N_importance,
+            det=not perturb, key=keys[max_iter + 1])
+        return jnp.where(converged[..., None], final_fine, cand)
 
-            # bisection for beta+ s.t. bound(beta+) == eps (volsdf.py:255-275)
-            beta_right = beta
-            beta_left = jnp.broadcast_to(jnp.asarray(beta_net, dtype), beta.shape)
-            for _ in range(max_bisection):
-                beta_tmp = 0.5 * (beta_left + beta_right)
-                btm = error_bound(d_vals, sdf, 1.0 / beta_tmp, beta_tmp).max(
-                    axis=-1, keepdims=True)
-                beta_right = jnp.where(btm <= eps, beta_tmp, beta_right)
-                beta_left = jnp.where(btm > eps, beta_tmp, beta_left)
-            beta = jnp.where(still[..., None], beta_right, beta)
-
-            bounds = jnp.clip(error_bound(d_vals, sdf, 1.0 / beta, beta), 0, 1e5)
-
-    # never-converged rays: final samples with the last beta+ (volsdf.py:294-300)
-    cand = opacity_invert_cdf_sample(
-        d_vals, sdf, 1.0 / beta, beta, final_N_importance,
-        det=not perturb, key=keys[max_iter + 1])
-    final_fine = jnp.where(converged[..., None], final_fine, cand)
+    final_fine = jax.lax.cond(
+        jnp.all(converged), lambda args: args[3], final_unconv,
+        (d_vals, sdf, beta, final_fine))
     beta = jnp.where(converged[..., None], jnp.asarray(beta_net, dtype), beta)
     return final_fine, beta, iter_usage
