@@ -13,13 +13,13 @@ breaks when no ray exceeds the error bound; measured on checkpoints
 trained here, 100% of rays converge at iteration 0). The headline
 scenario therefore uses a converged-state model (geometric-init sphere
 with the error bound satisfied at the initial sampling — the same
-early-exit behavior as a trained checkpoint); the never-converged
-worst case (every ray pays all 6 upsample iterations) is reported
-alongside as `worst_case_rays_per_sec`.
+early-exit behavior as a trained checkpoint); a full-budget stress
+(eps=1e-4: every ray pays all 6 upsample iterations) is reported
+alongside as `full_budget_stress_rays_per_sec`.
 
 Prints ONE JSON line:
   {"metric": "volsdf_render_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N / 6500, "worst_case_rays_per_sec": M, ...}
+   "vs_baseline": N / 6500, "full_budget_stress_rays_per_sec": M, ...}
 """
 import json
 import os
@@ -58,13 +58,14 @@ def main():
     rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 1080))
     sampler_dtype = os.environ.get("BENCH_SAMPLER_DTYPE", "bfloat16")
     sampler_backend = os.environ.get("BENCH_SAMPLER_BACKEND", "xla")
-    rcfg = V.VolSDFRenderCfg(
-        near=0.0, far=6.0, obj_bounding_radius=3.0,
-        N_samples=128, N_importance=64, max_upsample_steps=6,
-        max_bisection_steps=10, epsilon=0.1,
-        calc_normal=True, require_nablas=True, detailed_output=False,
-        rays_chunk=rays_chunk, sampler_dtype=sampler_dtype,
-        sampler_backend=sampler_backend)
+    def make_rcfg(epsilon):
+        return V.VolSDFRenderCfg(
+            near=0.0, far=6.0, obj_bounding_radius=3.0,
+            N_samples=128, N_importance=64, max_upsample_steps=6,
+            max_bisection_steps=10, epsilon=epsilon,
+            calc_normal=True, require_nablas=True, detailed_output=False,
+            rays_chunk=rays_chunk, sampler_dtype=sampler_dtype,
+            sampler_backend=sampler_backend)
 
     c2w = jnp.eye(4).at[2, 3].set(-2.5)
     intr = (jnp.eye(4).at[0, 0].set(550.0).at[1, 1].set(550.0)
@@ -81,8 +82,9 @@ def main():
 
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
 
-    def run_scenario(beta_init):
+    def run_scenario(beta_init, epsilon=0.1):
         mcfg, params = make_model(beta_init)
+        rcfg = make_rcfg(epsilon)
         rgb, _, _ = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
         sync(rgb)  # warmup/compile
         t0 = time.perf_counter()
@@ -91,10 +93,14 @@ def main():
             sync(rgb)
         return H * W / ((time.perf_counter() - t0) / n_iters)
 
-    # converged-state (trained-scene-like, matches the reference protocol)
+    # converged-state (trained-scene-like, matches the reference protocol;
+    # measured: both trained checkpoints and fresh geometric-init models
+    # satisfy the error bound at the dense init sampling, so the sampler
+    # loop is skipped — same early exit as the reference volsdf.py:184-188)
     converged_rps = run_scenario(beta_init=1.0)
-    # worst case: no ray ever converges; all 6 upsample iterations paid
-    worst_rps = run_scenario(beta_init=0.1)
+    # stress: epsilon so tight no ray ever converges — every ray pays the
+    # full 6-iteration error-bounded pipeline (upper bound on sampler cost)
+    worst_rps = run_scenario(beta_init=0.1, epsilon=1e-4)
 
     baseline = 6500.0  # RTX 3090 end-to-end on a trained scene (README.md:65)
     print(json.dumps({
@@ -102,10 +108,11 @@ def main():
         "value": round(converged_rps, 1),
         "unit": "rays/s",
         "vs_baseline": round(converged_rps / baseline, 3),
-        "worst_case_rays_per_sec": round(worst_rps, 1),
+        "full_budget_stress_rays_per_sec": round(worst_rps, 1),
         "note": "value: converged-scene protocol (as the reference's "
-                "published number); worst_case: all rays pay the full "
-                "6-iteration error-bounded sampler",
+                "published number; sampler exits at iteration 0, like the "
+                "reference on trained scenes); stress: eps=1e-4 forces all "
+                "rays through the full 6-iteration error-bounded sampler",
     }))
 
 

@@ -196,6 +196,11 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     d_all = jnp.sort(jnp.concatenate([d_coarse, d_fine], axis=-1), axis=-1)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * d_all[..., :, None]
 
+    # a view-dir radiance net requires view dirs (same coupling crashes in
+    # the reference's concat, base.py:382); fail with a clear message
+    assert rcfg.use_view_dirs or not mcfg.radiance.use_view_dirs, \
+        "render use_view_dirs=False but the radiance net was built with " \
+        "use_view_dirs=True"
     view_dirs = rays_d if rcfg.use_view_dirs else None
     if rcfg.use_view_dirs:
         vexp = jnp.broadcast_to(view_dirs[..., None, :], pts.shape)
