@@ -19,7 +19,6 @@ Peak memory = one block's render graph, exactly like the reference, but
 with zero host round-trips and full XLA overlap between blocks.
 """
 import dataclasses
-import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -158,9 +157,24 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
 def make_finetune_step(clip_params, vgg_params, bank, mcfg, rcfg,
                        scfg: StyleCfg, fcfg: FinetuneCfg,
                        optimizer: optax.GradientTransformation):
-    """jit-wrapped finetune step closing over the loss networks."""
-    fn = functools.partial(
-        finetune_step, clip_params=clip_params, vgg_params=vgg_params,
-        bank=bank, mcfg=mcfg, rcfg=rcfg, scfg=scfg, fcfg=fcfg,
-        optimizer=optimizer)
-    return jax.jit(fn, donate_argnums=(0, 1))
+    """jit-wrapped finetune step.
+
+    The loss-network weights and text bank ride as jit ARGUMENTS (bound
+    via partial application of the returned callable), not closure
+    constants — closing over ~100 MB of CLIP/VGG weights makes XLA
+    constant-fold them into the executable (minutes of extra compile)."""
+    from nerfart_tpu.criteria.losses import TextBank
+
+    def _fn(params, opt_state, batch, key, clip_p, vgg_p, td, tf, nf):
+        return finetune_step(params, opt_state, batch, key, clip_p, vgg_p,
+                             TextBank(td, tf, nf), mcfg=mcfg, rcfg=rcfg,
+                             scfg=scfg, fcfg=fcfg, optimizer=optimizer)
+
+    jitted = jax.jit(_fn, donate_argnums=(0, 1))
+
+    def step(params, opt_state, batch, key):
+        return jitted(params, opt_state, batch, key, clip_params,
+                      vgg_params, bank.text_direction, bank.target_feats,
+                      bank.neg_feats)
+
+    return step
