@@ -185,13 +185,26 @@ def make_train_step(framework: str, mcfg, rcfg, tcfg: TrainCfg,
     module's gradients (reference fix_module, volsdf.py:371-386).
     mesh: optional jax Mesh — shards the ray batch over the 'data' axis
     (multi-chip DP; gradients all-reduce via XLA collectives over ICI).
-    """
-    loss_fn = {"volsdf": volsdf_losses, "neus": neus_losses}[framework.lower()]
 
-    def step(params, opt_state, batch, key):
+    The returned step takes (params, opt_state, batch, key, it) — `it` is
+    only consumed by UNISURF (its sampling interval decays with the step,
+    reference unisurf.py:321).
+    """
+    fw = framework.lower()
+    if fw == "unisurf":
+        from nerfart_tpu.models.unisurf import unisurf_losses
+
+        def loss_fn(params, batch, key, it):
+            return unisurf_losses(params, batch, key, it, mcfg, rcfg, tcfg)
+    else:
+        base_loss = {"volsdf": volsdf_losses, "neus": neus_losses}[fw]
+
+        def loss_fn(params, batch, key, it):
+            return base_loss(params, batch, key, mcfg, rcfg, tcfg, mesh)
+
+    def step(params, opt_state, batch, key, it=0):
         grads, (losses, aux) = jax.grad(
-            loss_fn, has_aux=True)(params, batch, key, mcfg, rcfg, tcfg,
-                                   mesh)
+            loss_fn, has_aux=True)(params, batch, key, it)
         if frozen_module is not None:
             zeroed = jax.tree_util.tree_map(jnp.zeros_like,
                                             grads[frozen_module])

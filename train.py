@@ -177,12 +177,25 @@ def main_function(args):
             clip_params, vgg_params, bank, bundle.mcfg, rcfg, scfg, fcfg,
             optimizer)
     else:
-        tcfg = training.TrainCfg(
-            H=H, W=W, N_rays=int(args["data"]["N_rays"]),
-            w_eikonal=float(args["training"].get("w_eikonal", 0.1)),
-            with_mask=bool(args["training"].get("with_mask", False)),
-            w_mask=float(args["training"].get("w_mask", 0.0)),
-            obj_bounding_radius=float(args["model"]["obj_bounding_radius"]))
+        if bundle.name == "unisurf":
+            from nerfart_tpu.models.unisurf import UnisurfTrainCfg
+            tr = args["training"]
+            tcfg = UnisurfTrainCfg(
+                H=H, W=W, N_rays=int(args["data"]["N_rays"]),
+                w_reg=float(tr.get("w_reg", 0.0)),
+                perturb_surface_pts=float(
+                    tr.get("perturb_surface_pts", 0.01)),
+                delta_max=float(tr.get("delta_max", 1.0)),
+                delta_min=float(tr.get("delta_min", 0.05)),
+                delta_beta=float(tr.get("delta_beta", 1e-5)))
+        else:
+            tcfg = training.TrainCfg(
+                H=H, W=W, N_rays=int(args["data"]["N_rays"]),
+                w_eikonal=float(args["training"].get("w_eikonal", 0.1)),
+                with_mask=bool(args["training"].get("with_mask", False)),
+                w_mask=float(args["training"].get("w_mask", 0.0)),
+                obj_bounding_radius=float(
+                    args["model"]["obj_bounding_radius"]))
         rcfg = bundle.make_render_cfg(
             test=False, detailed_output=True,
             **({"require_nablas": True, "calc_normal": False}
@@ -296,7 +309,8 @@ def main_function(args):
                     grad_norm = None
                 else:
                     params, opt_state, losses, aux, grad_norm = step_fn(
-                        params, opt_state, batch, k_step)
+                        params, opt_state, batch, k_step,
+                        jnp.asarray(it, jnp.float32))
 
                 # ---------------- logging (train.py:251-314)
                 if I_SAVE > 0 and time.time() - t0 > I_SAVE:
