@@ -225,7 +225,12 @@ if __name__ == "__main__":
     parser.add_argument("--alter_radiance", type=str, default=None)
     parser.add_argument("--outbase", type=str, default=None)
     parser.add_argument("--use_surface_render", type=str, default=None,
-                        help="[sphere_tracing, root_finding]")
+                        help="[sphere_tracing, root_finding]. NOTE: uses "
+                             "the raw network SDF (as the reference does, "
+                             "ray_casting.py:223) — meaningful for "
+                             "NeuS-style checkpoints; VolSDF 'builtin' "
+                             "checkpoints only constrain the SDF inside "
+                             "the scene sphere, so hits are sparse")
     parser.add_argument("--wavefront", action="store_true",
                         help="VolSDF: adaptive two-stage rendering (full "
                              "sampler budget only for unconverged rays)")
