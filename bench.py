@@ -54,6 +54,12 @@ def main():
 
     # the reference's headline render is --H 480 --W 270 (README.md:60-65)
     H, W = 480, 270
+    if os.environ.get("BENCH_SCENARIO") == "stress":
+        # smaller frame for the all-rays-unconverged stress: at ~1k rays/s
+        # a full 480x270 frame is a single >2-minute XLA program execution,
+        # which the tunneled backend's watchdog kills ("TPU device error");
+        # rays/s is size-independent at >=30 chunks.
+        H, W = 135, 240
     # defaults from the round-1 sweep on v5e: chunk ~1080 + bf16 sampler won
     rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 1080))
     sampler_dtype = os.environ.get("BENCH_SAMPLER_DTYPE", "bfloat16")
@@ -93,60 +99,129 @@ def main():
             sync(rgb)
         return H * W / ((time.perf_counter() - t0) / n_iters)
 
-    # converged-state (trained-scene-like, matches the reference protocol;
-    # measured: both trained checkpoints and fresh geometric-init models
-    # satisfy the error bound at the dense init sampling, so the sampler
-    # loop is skipped — same early exit as the reference volsdf.py:184-188)
-    converged_rps = run_scenario(beta_init=1.0)
-    # stress: epsilon so tight no ray ever converges — every ray pays the
-    # full 6-iteration error-bounded pipeline (upper bound on sampler cost)
-    worst_rps = run_scenario(beta_init=0.1, epsilon=1e-4)
+    scenario = os.environ.get("BENCH_SCENARIO", "converged")
+    if scenario == "stress":
+        # stress: epsilon so tight no ray ever converges — every ray pays
+        # the full 6-iteration error-bounded pipeline (sampler upper bound)
+        rps = run_scenario(beta_init=0.1, epsilon=1e-4)
+    else:
+        # converged-state (trained-scene-like, matches the reference
+        # protocol; measured: both trained checkpoints and fresh
+        # geometric-init models satisfy the error bound at the dense init
+        # sampling, so the sampler loop is skipped — the same early exit
+        # as the reference volsdf.py:184-188 on trained scenes)
+        rps = run_scenario(beta_init=1.0)
+    print(json.dumps({"scenario": scenario, "rays_per_sec": round(rps, 1)}))
 
-    baseline = 6500.0  # RTX 3090 end-to-end on a trained scene (README.md:65)
-    print(json.dumps({
-        "metric": "volsdf_render_rays_per_sec",
-        "value": round(converged_rps, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(converged_rps / baseline, 3),
-        "full_budget_stress_rays_per_sec": round(worst_rps, 1),
-        "note": "value: converged-scene protocol (as the reference's "
-                "published number; sampler exits at iteration 0, like the "
-                "reference on trained scenes); stress: eps=1e-4 forces all "
-                "rays through the full 6-iteration error-bounded sampler",
-    }))
+
+_PROBE = ("import jax, numpy as np; x = jax.numpy.ones((8, 8));"
+          "y = (x @ x).block_until_ready();"
+          "print('PROBE_OK', jax.devices(), float(np.asarray(y)[0, 0]))")
+
+
+def _fail(reason, detail=""):
+    print(json.dumps({"metric": "volsdf_render_rays_per_sec",
+                      "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+                      "error": reason, "detail": detail[-1500:]}))
+
+
+def _probe_backend(timeout_sec=300):
+    """Health-check the backend in a throwaway child process.
+
+    Distinguishes 'backend never initialized' (round-1 failure mode: the
+    tunneled PJRT server was down and every jax call raised
+    'Unable to initialize backend') from 'benchmark ran slow'. Returns
+    (ok, classified_reason, detail).
+    """
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run([sys.executable, "-c", _PROBE],
+                             capture_output=True, text=True,
+                             timeout=timeout_sec)
+    except subprocess.TimeoutExpired:
+        return False, "backend_probe_timeout", ""
+    if "PROBE_OK" in (out.stdout or ""):
+        return True, "", ""
+    err = out.stderr or ""
+    if "Unable to initialize backend" in err:
+        return False, "backend_init_failure", err
+    return False, "backend_probe_failed", err
 
 
 def _guarded():
     """Run the benchmark in a child with a deadline: the tunneled TPU
     backend can wedge indefinitely (observed in round 1), and the driver
-    needs a JSON line either way."""
+    needs a JSON line either way. Probes backend health first and retries
+    initialization with backoff before giving up."""
     import subprocess
     import sys
 
-    env = dict(os.environ, BENCH_INNER="1")
+    # 1) backend health probe with retry/backoff (the round-1 zero came
+    #    from an init failure reported as a generic 'no result')
+    ok = False
+    probe_detail = ""
+    for attempt, backoff in enumerate((0, 15, 60, 180)):
+        if backoff:
+            time.sleep(backoff)
+        ok, reason, probe_detail = _probe_backend()
+        if ok:
+            break
+        sys.stderr.write(f"bench: backend probe attempt {attempt + 1} "
+                         f"failed ({reason})\n")
+    if not ok:
+        _fail(reason, probe_detail)
+        return
+
+    # 2) run each scenario in its OWN child process: a device fault in one
+    #    scenario (observed round 2: the eps=1e-4 stress path can fault the
+    #    TPU) must never lose the headline number.
     deadline = int(os.environ.get("BENCH_DEADLINE_SEC", 2400))
-    try:
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             timeout=deadline)
-        line = ""
+
+    def run_child(scenario, timeout_sec):
+        env = dict(os.environ, BENCH_INNER="1", BENCH_SCENARIO=scenario)
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=timeout_sec)
+        except subprocess.TimeoutExpired:
+            return None, f"timeout_after_{timeout_sec}s"
         for l in (out.stdout or "").splitlines():
             if l.startswith("{"):
-                line = l
-        if line:
-            print(line)
-            return
-        sys.stderr.write(out.stderr[-2000:] if out.stderr else "")
-        print(json.dumps({"metric": "volsdf_render_rays_per_sec",
-                          "value": 0.0, "unit": "rays/s",
-                          "vs_baseline": 0.0,
-                          "error": "bench subprocess produced no result"}))
-    except subprocess.TimeoutExpired:
-        print(json.dumps({"metric": "volsdf_render_rays_per_sec",
-                          "value": 0.0, "unit": "rays/s",
-                          "vs_baseline": 0.0,
-                          "error": f"timeout after {deadline}s "
-                                   "(TPU backend unresponsive)"}))
+                try:
+                    return json.loads(l)["rays_per_sec"], ""
+                except (ValueError, KeyError):
+                    pass
+        err = out.stderr or ""
+        sys.stderr.write(err[-2000:])
+        if "Unable to initialize backend" in err:
+            return None, "backend_init_failure_mid_bench"
+        return None, "scenario_subprocess_no_result"
+
+    converged_rps, conv_err = run_child("converged", deadline)
+    if converged_rps is None:
+        _fail(conv_err)
+        return
+    # stress runs second (and is allowed to fail) so a fault cannot cost
+    # the headline; bound it to whatever deadline budget remains.
+    stress_rps, stress_err = run_child("stress", max(300, deadline // 3))
+
+    baseline = 6500.0  # RTX 3090 end-to-end on a trained scene (README.md:65)
+    result = {
+        "metric": "volsdf_render_rays_per_sec",
+        "value": round(converged_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(converged_rps / baseline, 3),
+        "note": "value: converged-scene protocol (as the reference's "
+                "published number; sampler exits at iteration 0, like the "
+                "reference on trained scenes); stress: eps=1e-4 forces all "
+                "rays through the full 6-iteration error-bounded sampler",
+    }
+    if stress_rps is not None:
+        result["full_budget_stress_rays_per_sec"] = round(stress_rps, 1)
+    else:
+        result["stress_error"] = stress_err
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

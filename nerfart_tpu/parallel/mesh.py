@@ -60,6 +60,63 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def auto_mesh(n_rays: Optional[int] = None) -> Optional[Mesh]:
+    """Mesh over all devices when >1 is present, else None.
+
+    The CLI entry points call this to make multi-chip the default (the
+    reference requires an explicit --ddp + torchrun; on TPU one process
+    sees all local chips, so sharding can just be on). If `n_rays` is
+    given and not divisible by the device count, the mesh is trimmed to
+    the largest power-of-two divisor so ray batches always split evenly.
+    """
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    if n_rays is not None:
+        while n > 1 and n_rays % n != 0:
+            n //= 2
+        if n <= 1:
+            return None
+    return make_mesh(n)
+
+
+def shard_map_render(render_flat, mesh: Mesh, n_rays: int, axis: str = "data"):
+    """SPMD-ify a flat-ray render function over the mesh's ray axis.
+
+    render_flat: (params, rays_o [M,3], rays_d [M,3]) -> pytree whose
+    leaves all have the ray axis leading. Returns a function with the same
+    signature that pads M=n_rays to a device-count multiple, runs each
+    shard on its own chip via shard_map (rays are embarrassingly parallel:
+    zero collectives — the TPU analog of the reference's
+    nn.DataParallel(dim=ray), volsdf.py:632-633), and unpads.
+
+    n_rays must be the static ray count (image H*W) so padding is static
+    under jit.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_pad = pad_to_multiple(n_rays, n_dev)
+
+    inner = shard_map(render_flat, mesh=mesh,
+                      in_specs=(P(), P(axis), P(axis)),
+                      out_specs=P(axis), check_rep=False)
+
+    def wrapped(params, rays_o, rays_d):
+        pad = n_pad - n_rays
+        if pad:
+            rays_o = jnp.concatenate(
+                [rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))])
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))])
+        out = inner(params, rays_o, rays_d)
+        if pad:
+            out = jax.tree_util.tree_map(lambda x: x[:n_rays], out)
+        return out
+
+    return wrapped
+
+
 def data_parallel_sharding(mesh: Mesh, ray_axis: int = 1,
                            ndim: int = 3) -> NamedSharding:
     """NamedSharding that shards the ray axis over the mesh's data axis."""

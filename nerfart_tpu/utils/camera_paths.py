@@ -3,6 +3,13 @@ tools/render_view.py — all five paths active, matching the tools/ variant
 where render.py has them commented out but still on the CLI surface).
 
 Host-side numpy (camera counts are tiny); scipy Slerp for interpolation.
+
+Provenance note: `normalize`/`view_matrix`/`look_at`/`poses_avg` mirror the
+reference's render.py:21-63 essentially verbatim — they are the standard
+4-12-line look-at / pose-averaging math whose exact semantics (axis order,
+epsilon, up-vector convention) must match for golden camera-path parity.
+The path generators below (interpolation/circle/spiral/spherical_spiral)
+are restructured original implementations.
 """
 import math
 from typing import List, Optional

@@ -22,6 +22,7 @@ apply_env_platform()
 
 from nerfart_tpu.data import get_data
 from nerfart_tpu.frameworks import get_model
+from nerfart_tpu.parallel import mesh as pmesh
 from nerfart_tpu.utils import camera_paths
 from nerfart_tpu.utils.checkpoints import CheckpointIO, sorted_ckpts
 from nerfart_tpu.utils.config import cond_mkdir, create_args_parser, load_config
@@ -135,15 +136,36 @@ def main_function(args):
             test=True, rays_chunk=args.rayschunk, calc_normal=True,
             detailed_output=False,
             **({"require_nablas": True} if bundle.name == "volsdf" else {}))
+        # multi-chip: per-view ray megabatch splits over all devices
+        # (embarrassingly parallel, zero collectives; the TPU equivalent
+        # of the reference's DataParallel ray dim split, volsdf.py:632)
+        mesh = None if bool(args.get("no_mesh", False)) else pmesh.auto_mesh()
+        if mesh is not None:
+            log.info("=> Rendering on %d devices", mesh.devices.size)
+            params = pmesh.replicate(params, mesh)
 
-        @jax.jit
-        def render_view(c2w):
-            rays_o, rays_d, _ = get_rays(c2w[None], jnp.asarray(intrinsics)[None],
-                                         H, W, N_rays=-1)
-            rgb, depth, extras = bundle.volume_render(
-                params, rays_o, rays_d, bundle.mcfg, rcfg)
-            return rgb, depth, extras.get("normals_volume",
-                                          jnp.zeros_like(rgb))
+            def _flat(p, ro, rd):
+                rgb, depth, extras = bundle.volume_render(
+                    p, ro, rd, bundle.mcfg, rcfg)
+                return (rgb, depth,
+                        extras.get("normals_volume", jnp.zeros_like(rgb)))
+
+            _sharded = pmesh.shard_map_render(_flat, mesh, n_rays=H * W)
+
+            @jax.jit
+            def render_view(c2w):
+                rays_o, rays_d, _ = get_rays(
+                    c2w[None], jnp.asarray(intrinsics)[None], H, W, N_rays=-1)
+                return _sharded(params, rays_o[0], rays_d[0])
+        else:
+            @jax.jit
+            def render_view(c2w):
+                rays_o, rays_d, _ = get_rays(
+                    c2w[None], jnp.asarray(intrinsics)[None], H, W, N_rays=-1)
+                rgb, depth, extras = bundle.volume_render(
+                    params, rays_o, rays_d, bundle.mcfg, rcfg)
+                return rgb, depth, extras.get("normals_volume",
+                                              jnp.zeros_like(rgb))
 
     def integerify(img):
         return (np.clip(img, 0, 1) * 255.0).astype(np.uint8)
@@ -204,6 +226,7 @@ def main_function(args):
 
 
 if __name__ == "__main__":
+    pmesh.init_distributed()  # multi-host no-op on one host
     parser = create_args_parser()
     parser.add_argument("--num_views", type=int, default=200)
     parser.add_argument("--device", type=str, default="tpu")

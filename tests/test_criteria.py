@@ -136,3 +136,17 @@ def test_patchnce_patch_size_fullres_flag():
     cfg2 = L.PatchNCECfg(target_h=960, target_w=540, is_full_res=False)
     assert cfg2.patch_size == 112
     assert cfg2.crop_bounds()[0] == 100
+
+
+def test_neg_text_bank_matches_reference():
+    """The shipped bank is the reference's criteria/neg_text.txt verbatim
+    (137 lines, 7 categories); category names and per-category counts are
+    pinned so the negative-sampling distribution matches the reference."""
+    cats = neg_text.parse_neg_text()
+    assert {k: len(v) for k, v in cats.items()} == {
+        "base": 15, "disney": 25, "cartoon": 13, "sketch": 21,
+        "zombie": 20, "anime": 19, "portrait": 18}
+    with open(neg_text.DEFAULT_PATH) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 138  # wc -l says 137: no trailing newline
+    assert sum(1 for l in lines if l.startswith("#")) == 7

@@ -23,6 +23,7 @@ apply_env_platform()
 
 from nerfart_tpu import training
 from nerfart_tpu.data import get_data
+from nerfart_tpu.parallel import mesh as pmesh
 from nerfart_tpu.frameworks import get_model
 from nerfart_tpu.models import base as nets
 from nerfart_tpu.utils import mesh_util
@@ -94,6 +95,16 @@ def main_function(args):
     H, W = dataset.H, dataset.W
     val_H, val_W = val_dataset.H, val_dataset.W
 
+    # device mesh: multi-chip DP over rays is on by default when >1 local
+    # device is visible (TPU equivalent of the reference's --ddp,
+    # train.py:338 + dist_util.py; here SPMD needs no process launcher)
+    mesh = None
+    if not bool(args.get("no_mesh", False)):
+        mesh = pmesh.auto_mesh(n_rays=int(args["data"]["N_rays"]))
+    if mesh is not None:
+        log.info("=> Device mesh: %d devices, DP over rays",
+                 mesh.devices.size)
+
     # seed everything (the reference seeds to 42, dist_util.py:39)
     root_key = jax.random.PRNGKey(int(args.get("seed", 42)))
     k_init, k_train = jax.random.split(root_key)
@@ -132,6 +143,12 @@ def main_function(args):
             jax.random.PRNGKey(0), lr=float(args["training"]["lr_pretrain"]))
         checkpoint_io.register_modules(model=lambda: params)
         checkpoint_io.save("latest.npz", global_step=it, epoch_idx=epoch_idx)
+
+    if mesh is not None:
+        # params replicated on every chip; the ray batch shards (the
+        # reference's DDP layout: model replicated, data split)
+        params = pmesh.replicate(params, mesh)
+        opt_state = pmesh.replicate(opt_state, mesh)
 
     # ------------------------------------------------------------------
     # build the jitted step
@@ -201,7 +218,7 @@ def main_function(args):
             **({"require_nablas": True, "calc_normal": False}
                if bundle.name == "volsdf" else {}))
         step_fn = training.make_train_step(
-            bundle.name, bundle.mcfg, rcfg, tcfg, optimizer)
+            bundle.name, bundle.mcfg, rcfg, tcfg, optimizer, mesh=mesh)
 
     # validation render (full image at val downscale)
     val_rcfg = bundle.make_render_cfg(
@@ -209,12 +226,27 @@ def main_function(args):
         calc_normal=True, detailed_output=True,
         **({"require_nablas": True} if bundle.name == "volsdf" else {}))
 
-    @jax.jit
-    def render_val(params, c2w, intrinsics):
-        rays_o, rays_d, _ = get_rays(c2w, intrinsics, val_H, val_W,
-                                     N_rays=-1)
-        return bundle.volume_render(params, rays_o, rays_d, bundle.mcfg,
-                                    val_rcfg)
+    if mesh is not None:
+        # validation image rays split over chips (zero collectives)
+        _val_sharded = pmesh.shard_map_render(
+            lambda p, ro, rd: bundle.volume_render(
+                p, ro, rd, bundle.mcfg, val_rcfg)[2],
+            mesh, n_rays=val_H * val_W)
+
+        @jax.jit
+        def render_val(params, c2w, intrinsics):
+            rays_o, rays_d, _ = get_rays(c2w, intrinsics, val_H, val_W,
+                                         N_rays=-1)
+            ret = _val_sharded(params, rays_o[0], rays_d[0])
+            ret = jax.tree_util.tree_map(lambda x: x[None], ret)
+            return ret["rgb"], ret["depth_volume"], ret
+    else:
+        @jax.jit
+        def render_val(params, c2w, intrinsics):
+            rays_o, rays_d, _ = get_rays(c2w, intrinsics, val_H, val_W,
+                                         N_rays=-1)
+            return bundle.volume_render(params, rays_o, rays_d, bundle.mcfg,
+                                        val_rcfg)
 
     checkpoint_io.register_modules(
         model=lambda: params, optimizer=lambda: opt_state)
@@ -370,10 +402,12 @@ def main_function(args):
 
 
 if __name__ == "__main__":
+    pmesh.init_distributed()  # multi-host no-op on one host (dist_util.py:13)
     parser = create_args_parser()
     parser.add_argument("--ddp", action="store_true",
                         help="kept for reference-CLI compatibility; "
-                             "multi-chip runs shard via jax Mesh instead")
+                             "multi-chip DP over rays is automatic whenever "
+                             ">1 device is visible (disable: --no_mesh true)")
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--profile_start", type=int, default=5)
     parser.add_argument("--profile_steps", type=int, default=0,
