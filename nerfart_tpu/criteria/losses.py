@@ -31,15 +31,18 @@ Params = Any
 
 def encode_templates(clip_params: Params, tokenizer, class_str: str,
                      templates: Sequence[str] = imagenet_templates,
-                     batch: int = 128) -> jnp.ndarray:
+                     batch: int = 128,
+                     clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+                     ) -> jnp.ndarray:
     """Normalized per-template text features [T, 512]
     (reference clip_loss.py:222-232)."""
     texts = [t.format(class_str) for t in templates]
     tokens = tokenizer.tokenize(texts)
     feats = []
-    enc = jax.jit(clip_model.encode_text)
+    enc = jax.jit(clip_model.encode_text, static_argnames=("cfg",))
     for i in range(0, len(tokens), batch):
-        feats.append(enc(clip_params, jnp.asarray(tokens[i:i + batch])))
+        feats.append(enc(clip_params, jnp.asarray(tokens[i:i + batch]),
+                         cfg=clip_cfg))
     feats = jnp.concatenate(feats, axis=0)
     return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
@@ -60,10 +63,15 @@ class TextBank:
 
     @staticmethod
     def build(clip_params: Params, tokenizer, src_text: str, target_text: str,
-              neg_texts: List[str]) -> "TextBank":
-        src = encode_templates(clip_params, tokenizer, src_text)
-        tgt = encode_templates(clip_params, tokenizer, target_text)
-        negs = [encode_templates(clip_params, tokenizer, t) for t in neg_texts]
+              neg_texts: List[str],
+              clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+              ) -> "TextBank":
+        src = encode_templates(clip_params, tokenizer, src_text,
+                               clip_cfg=clip_cfg)
+        tgt = encode_templates(clip_params, tokenizer, target_text,
+                               clip_cfg=clip_cfg)
+        negs = [encode_templates(clip_params, tokenizer, t, clip_cfg=clip_cfg)
+                for t in neg_texts]
         return TextBank(
             text_direction=compute_text_direction(src, tgt),
             target_feats=tgt,
@@ -75,8 +83,9 @@ class TextBank:
 # image feature helpers
 # --------------------------------------------------------------------------
 
-def _img_features(clip_params, img, norm=True):
-    f = clip_model.encode_image(clip_params, img)
+def _img_features(clip_params, img, norm=True,
+                  clip_cfg=clip_model.VIT_B_32):
+    f = clip_model.encode_image(clip_params, img, clip_cfg)
     if norm:
         f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
     return f
@@ -88,11 +97,15 @@ def _img_features(clip_params, img, norm=True):
 
 def directional_clip_loss(clip_params: Params, rgb_gt: jnp.ndarray,
                           rgb_pred: jnp.ndarray,
-                          text_direction: jnp.ndarray) -> jnp.ndarray:
+                          text_direction: jnp.ndarray,
+                          clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+                          ) -> jnp.ndarray:
     """1 - cos(image edit direction, text direction)
     (reference clip_loss.py:244-254 with 'cosine' DirectionLoss)."""
-    src = _img_features(clip_params, pp.preprocess_square224(rgb_gt))
-    tgt = _img_features(clip_params, pp.preprocess_square224(rgb_pred))
+    src = _img_features(clip_params, pp.preprocess_square224(rgb_gt),
+                        clip_cfg=clip_cfg)
+    tgt = _img_features(clip_params, pp.preprocess_square224(rgb_pred),
+                        clip_cfg=clip_cfg)
     edit = tgt - src
     edit = edit / jnp.linalg.norm(edit, axis=-1, keepdims=True)
     cos = jnp.sum(edit * text_direction, axis=-1)
@@ -116,15 +129,17 @@ def global_contrastive_loss(clip_params: Params, rgb_gt: jnp.ndarray,
                             rgb_pred: jnp.ndarray,
                             target_feats: jnp.ndarray,
                             neg_feat: jnp.ndarray,
-                            margin: float = 2.0) -> jnp.ndarray:
+                            margin: float = 2.0,
+                            clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+                            ) -> jnp.ndarray:
     """Margin-2 euclidean triplet on CLIP features
     (reference contrastive_loss.py:139-153, 'euclidean'):
     pull pred toward target-text templates, push from (negative text,
     original image)."""
     src_enc = _img_features(clip_params, pp.preprocess_shorter_crop224(
-        pp.gan_unnormalize(rgb_gt)))
+        pp.gan_unnormalize(rgb_gt)), clip_cfg=clip_cfg)
     tgt_enc = _img_features(clip_params, pp.preprocess_shorter_crop224(
-        pp.gan_unnormalize(rgb_pred)))
+        pp.gan_unnormalize(rgb_pred)), clip_cfg=clip_cfg)
     d_near = jnp.linalg.norm(tgt_enc - target_feats, axis=-1)        # [T]
     d_far_text = jnp.linalg.norm(tgt_enc - neg_feat, axis=-1)        # [T]
     d_far_img = jnp.linalg.norm(tgt_enc - src_enc, axis=-1)          # [1]
@@ -134,10 +149,11 @@ def global_contrastive_loss(clip_params: Params, rgb_gt: jnp.ndarray,
 
 
 def _patch_infonce(clip_params, patch, target_feats, neg_feats,
-                   temperature=0.07):
+                   temperature=0.07, clip_cfg=clip_model.VIT_B_32):
     """Per-patch InfoNCE vs target (pos) and negative texts
     (reference patchnce_loss.py:153-173)."""
-    enc = _img_features(clip_params, pp.clip_normalize(patch))
+    enc = _img_features(clip_params, pp.clip_normalize(patch),
+                        clip_cfg=clip_cfg)
     cos_near = jnp.sum(enc * target_feats, axis=-1)                   # [T]
     pos = jnp.exp(cos_near / temperature)
     cos_far = jnp.einsum("bd,ntd->nt", enc, neg_feats)                # [N, T]
@@ -174,20 +190,23 @@ class PatchNCECfg:
         return m, H - th + 1 - m, 0, W - th + 1
 
 
-def patchnce_loss(clip_params: Params, rgb_pred: jnp.ndarray,
-                  target_feats: jnp.ndarray, neg_feats: jnp.ndarray,
-                  key: jax.Array, cfg: PatchNCECfg) -> jnp.ndarray:
-    """Local PatchNCE (reference patchnce_loss.py:175-220)."""
-    img = pp.gan_unnormalize(rgb_pred)
-    img = jnp.pad(img, ((0, 0), (0, 0), (cfg.pad_tb, cfg.pad_tb),
-                        (cfg.pad_lr, cfg.pad_lr)))
+def patchnce_loss_at(clip_params: Params, rgb_pred: jnp.ndarray,
+                     target_feats: jnp.ndarray, neg_feats: jnp.ndarray,
+                     iis: jnp.ndarray, jjs: jnp.ndarray,
+                     cfg: PatchNCECfg,
+                     clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+                     ) -> jnp.ndarray:
+    """Local PatchNCE at explicit crop positions (reference
+    patchnce_loss.py:175-220). The zero-pad happens BEFORE the GAN
+    un-normalize, exactly as the reference (which pads the [0,1] render
+    and un-normalizes per patch inside encode_images, so pad pixels land
+    at 0.5); the affine un-normalize commutes with the bicubic resizes."""
+    img = jnp.pad(rgb_pred, ((0, 0), (0, 0), (cfg.pad_tb, cfg.pad_tb),
+                             (cfg.pad_lr, cfg.pad_lr)))
+    img = pp.gan_unnormalize(img)
     img = resize2d(img, (cfg.target_h, cfg.target_w), mode="bicubic")
 
     th = cfg.patch_size
-    i_lo, i_hi, j_lo, j_hi = cfg.crop_bounds()
-    ki, kj = jax.random.split(key)
-    iis = jax.random.randint(ki, (cfg.n_patches,), i_lo, i_hi)
-    jjs = jax.random.randint(kj, (cfg.n_patches,), j_lo, j_hi)
 
     def one_patch(carry, ij):
         i, j = ij
@@ -195,11 +214,26 @@ def patchnce_loss(clip_params: Params, rgb_pred: jnp.ndarray,
             img, (0, 0, i, j), (img.shape[0], 3, th, th))
         if not cfg.is_full_res:
             patch = resize2d(patch, (224, 224), mode="bicubic")
-        loss = _patch_infonce(clip_params, patch, target_feats, neg_feats)
+        loss = _patch_infonce(clip_params, patch, target_feats, neg_feats,
+                              clip_cfg=clip_cfg)
         return carry + loss, None
 
     total, _ = jax.lax.scan(one_patch, jnp.float32(0.0), (iis, jjs))
     return total
+
+
+def patchnce_loss(clip_params: Params, rgb_pred: jnp.ndarray,
+                  target_feats: jnp.ndarray, neg_feats: jnp.ndarray,
+                  key: jax.Array, cfg: PatchNCECfg,
+                  clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+                  ) -> jnp.ndarray:
+    """Local PatchNCE with random crops (reference patchnce_loss.py:175-220)."""
+    i_lo, i_hi, j_lo, j_hi = cfg.crop_bounds()
+    ki, kj = jax.random.split(key)
+    iis = jax.random.randint(ki, (cfg.n_patches,), i_lo, i_hi)
+    jjs = jax.random.randint(kj, (cfg.n_patches,), j_lo, j_hi)
+    return patchnce_loss_at(clip_params, rgb_pred, target_feats, neg_feats,
+                            iis, jjs, cfg, clip_cfg=clip_cfg)
 
 
 def infonce_loss(clip_params: Params, rgb_pred: jnp.ndarray,

@@ -37,10 +37,11 @@ def preprocess_square224(img: jnp.ndarray) -> jnp.ndarray:
 def preprocess_shorter_crop224(img: jnp.ndarray) -> jnp.ndarray:
     """torchvision Resize(224) (shorter side) + CenterCrop(224) + normalize."""
     H, W = img.shape[-2], img.shape[-1]
+    # torchvision Resize truncates (int(size * long / short)), not rounds
     if H < W:
-        new_h, new_w = 224, max(224, int(round(224 * W / H)))
+        new_h, new_w = 224, max(224, int(224 * W / H))
     else:
-        new_h, new_w = max(224, int(round(224 * H / W))), 224
+        new_h, new_w = max(224, int(224 * H / W)), 224
     img = resize2d(img, (new_h, new_w), mode="bicubic")
     top = (new_h - 224) // 2
     left = (new_w - 224) // 2

@@ -150,3 +150,87 @@ def test_neg_text_bank_matches_reference():
         lines = f.read().splitlines()
     assert len(lines) == 138  # wc -l says 137: no trailing newline
     assert sum(1 for l in lines if l.startswith("#")) == 7
+
+
+# ---------------------------------------------------------------------------
+# Value-level golden parity with the REFERENCE loss implementations
+# (tests/gen_golden_criteria.py runs the reference's CLIPLoss /
+# VGGPerceptualLoss / ContrastiveLoss / PatchNCELoss on a seeded tiny CLIP
+# + VGG whose weights are shared bit-exactly with this rebuild)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def crit_golden():
+    import pathlib
+    path = pathlib.Path(__file__).parent / "golden" / "criteria_losses.npz"
+    if not path.exists():
+        pytest.skip("criteria_losses.npz not generated")
+    return dict(np.load(path, allow_pickle=True))
+
+
+@pytest.fixture(scope="module")
+def crit_setup(crit_golden):
+    from nerfart_tpu.models.clip import model as cm
+    from nerfart_tpu.models import vgg as vgg_mod
+
+    g = crit_golden
+    clip_sd = {k[len("clip."):]: v for k, v in g.items()
+               if k.startswith("clip.")}
+    vgg_sd = {k[len("vgg."):]: v for k, v in g.items()
+              if k.startswith("vgg.")}
+    clip_params = cm.params_from_openai_state_dict(clip_sd, TINY_CLIP)
+    vgg_params = vgg_mod.params_from_torchvision_state_dict(vgg_sd)
+    tok = SimpleTokenizer()
+    return g, clip_params, vgg_params, tok
+
+
+def _templates_feats(clip_params, tok, text):
+    return L.encode_templates(clip_params, tok, str(text),
+                              clip_cfg=TINY_CLIP)
+
+
+def test_golden_directional_clip_loss(crit_setup):
+    g, clip_params, _, tok = crit_setup
+    src = _templates_feats(clip_params, tok, g["src_text"])
+    tgt = _templates_feats(clip_params, tok, g["tgt_text"])
+    direction = L.compute_text_direction(src, tgt)
+    np.testing.assert_allclose(np.asarray(direction), g["text_direction"],
+                               atol=2e-5)
+    loss = L.directional_clip_loss(
+        clip_params, jnp.asarray(g["rgb_gt"]), jnp.asarray(g["rgb_pred"]),
+        direction, clip_cfg=TINY_CLIP)
+    np.testing.assert_allclose(float(loss), float(g["dir_clip_loss"]),
+                               atol=2e-4)
+
+
+def test_golden_vgg_perceptual_loss(crit_setup):
+    g, _, vgg_params, _ = crit_setup
+    loss = L.vgg_perceptual_loss(vgg_params, jnp.asarray(g["rgb_pred"]),
+                                 jnp.asarray(g["rgb_gt"]))
+    np.testing.assert_allclose(float(loss), float(g["vgg_loss"]), rtol=1e-4)
+
+
+def test_golden_contrastive_loss(crit_setup):
+    g, clip_params, _, tok = crit_setup
+    tgt = _templates_feats(clip_params, tok, g["tgt_text"])
+    neg = _templates_feats(clip_params, tok, g["neg_text_1"])
+    loss = L.global_contrastive_loss(
+        clip_params, jnp.asarray(g["rgb_gt"]), jnp.asarray(g["rgb_pred"]),
+        tgt, neg, clip_cfg=TINY_CLIP)
+    np.testing.assert_allclose(float(loss), float(g["contrastive_loss"]),
+                               rtol=1e-4)
+
+
+def test_golden_patchnce_loss(crit_setup):
+    g, clip_params, _, tok = crit_setup
+    tgt = _templates_feats(clip_params, tok, g["tgt_text"])
+    negs = jnp.stack([_templates_feats(clip_params, tok, t)
+                      for t in g["neg_texts_8"]])
+    pos = np.asarray(g["patch_positions"])
+    cfg = L.PatchNCECfg(target_h=960, target_w=540, is_full_res=False)
+    loss = L.patchnce_loss_at(
+        clip_params, jnp.asarray(g["rgb_pred"]), tgt, negs,
+        jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]), cfg,
+        clip_cfg=TINY_CLIP)
+    np.testing.assert_allclose(float(loss), float(g["patchnce_loss"]),
+                               rtol=2e-4)
