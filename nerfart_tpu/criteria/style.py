@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from nerfart_tpu.criteria import losses as L
+from nerfart_tpu.models.clip import model as clip_model
 
 Params = Any
 
@@ -29,6 +30,7 @@ class StyleCfg:
     w_patchnce: float = 0.1
     n_patch_negs: int = 8          # volsdf.py:909
     patch: L.PatchNCECfg = L.PatchNCECfg()
+    clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
 
 
 def style_loss(clip_params: Params, vgg_params: Params, bank: L.TextBank,
@@ -47,7 +49,8 @@ def style_loss(clip_params: Params, vgg_params: Params, bank: L.TextBank,
 
     losses = {}
     losses["clip"] = cfg.w_clip * L.directional_clip_loss(
-        clip_params, rgb_gt, rgb_pred, bank.text_direction)
+        clip_params, rgb_gt, rgb_pred, bank.text_direction,
+        clip_cfg=cfg.clip_cfg)
     losses["perceptual"] = cfg.w_perceptual * L.vgg_perceptual_loss(
         vgg_params, rgb_pred, rgb_gt)
 
@@ -55,7 +58,7 @@ def style_loss(clip_params: Params, vgg_params: Params, bank: L.TextBank,
     neg_idx = jax.random.randint(k_con, (), 0, n_neg)
     losses["contrastive"] = cfg.w_contrastive * L.global_contrastive_loss(
         clip_params, rgb_gt, rgb_pred, bank.target_feats,
-        bank.neg_feats[neg_idx])
+        bank.neg_feats[neg_idx], clip_cfg=cfg.clip_cfg)
 
     # 8 random negative texts for PatchNCE (volsdf.py:909-913). The
     # reference uses sampling without replacement; with a ~100-text bank a
@@ -64,7 +67,7 @@ def style_loss(clip_params: Params, vgg_params: Params, bank: L.TextBank,
     sel = jax.random.randint(k_pnce_sel, (cfg.n_patch_negs,), 0, n_neg)
     losses["patchnce"] = cfg.w_patchnce * L.patchnce_loss(
         clip_params, rgb_pred, bank.target_feats, bank.neg_feats[sel],
-        k_pnce, cfg.patch)
+        k_pnce, cfg.patch, clip_cfg=cfg.clip_cfg)
 
     total = losses["clip"] + losses["perceptual"] \
         + losses["contrastive"] + losses["patchnce"]

@@ -58,9 +58,14 @@ def _render_fn(framework: str):
 def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
                   key: jax.Array, clip_params: Params, vgg_params: Params,
                   bank, mcfg, rcfg, scfg: StyleCfg, fcfg: FinetuneCfg,
-                  optimizer: optax.GradientTransformation):
+                  optimizer: optax.GradientTransformation, mesh=None):
     """One stylization step. batch: {'c2w' [B,4,4], 'intrinsics' [B,4,4],
-    'rgb' [B, H*W, 3]}. Returns (params, opt_state, losses_dict)."""
+    'rgb' [B, H*W, 3]}. Returns (params, opt_state, losses_dict).
+
+    mesh: optional jax Mesh — the full-image rays of pass 1 and each
+    pass-2 gradient block shard over the 'data' axis; XLA all-reduces the
+    accumulated parameter grads (DDP-equivalent for stylization, which the
+    reference never had: its finetune is single-GPU only)."""
     render = _render_fn(fcfg.framework)
     H, W = fcfg.H, fcfg.W
     k_r1, k_style, k_r2 = jax.random.split(key, 3)
@@ -69,6 +74,10 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
     rays_o, rays_d, _ = ray_ops.get_rays(
         batch["c2w"], batch["intrinsics"], H, W, N_rays=-1)
     target_rgb = batch["rgb"]
+    if mesh is not None:
+        from nerfart_tpu.parallel.mesh import shard_rays
+        rays_o = shard_rays(rays_o, mesh)
+        rays_d = shard_rays(rays_d, mesh)
 
     # ---------------- pass 1: no-grad full render (volsdf.py:724-729)
     is_volsdf = fcfg.framework.lower() == "volsdf"
@@ -118,6 +127,11 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
     def block_step(carry, blk):
         grads_acc, eik_acc = carry
         ro, rd, g, kk = blk
+        if mesh is not None:
+            from nerfart_tpu.parallel.mesh import shard_rays
+            ro = shard_rays(ro, mesh)
+            rd = shard_rays(rd, mesh)
+            g = shard_rays(g, mesh)
 
         def f(p):
             rgb_p, _, extras = render(p, ro, rd, mcfg, rcfg_p2, key=kk)
@@ -156,7 +170,7 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
 
 def make_finetune_step(clip_params, vgg_params, bank, mcfg, rcfg,
                        scfg: StyleCfg, fcfg: FinetuneCfg,
-                       optimizer: optax.GradientTransformation):
+                       optimizer: optax.GradientTransformation, mesh=None):
     """jit-wrapped finetune step.
 
     The loss-network weights and text bank ride as jit ARGUMENTS (bound
@@ -168,7 +182,8 @@ def make_finetune_step(clip_params, vgg_params, bank, mcfg, rcfg,
     def _fn(params, opt_state, batch, key, clip_p, vgg_p, td, tf, nf):
         return finetune_step(params, opt_state, batch, key, clip_p, vgg_p,
                              TextBank(td, tf, nf), mcfg=mcfg, rcfg=rcfg,
-                             scfg=scfg, fcfg=fcfg, optimizer=optimizer)
+                             scfg=scfg, fcfg=fcfg, optimizer=optimizer,
+                             mesh=mesh)
 
     jitted = jax.jit(_fn, donate_argnums=(0, 1))
 

@@ -47,7 +47,8 @@ def _run_step(tiny_setup, fix_module):
     H, W = 18, 12
     scfg = StyleCfg(patch=L.PatchNCECfg(target_h=340, target_w=240,
                                         pad_lr=10, pad_tb=10,
-                                        n_patches=1, is_full_res=False))
+                                        n_patches=1, is_full_res=False),
+                    clip_cfg=TINY_CLIP)
     fcfg = ft.FinetuneCfg(H=H, W=W, framework="volsdf", use_eikonal=True,
                           render_chunk=None, grad_chunk=72,
                           fix_module=fix_module)
@@ -61,14 +62,9 @@ def _run_step(tiny_setup, fix_module):
         "rgb": jax.random.uniform(jax.random.PRNGKey(9), (1, H * W, 3)),
     }
 
-    orig = cm.encode_image
-    cm.encode_image = lambda p, imgs, cfg=None: orig(p, imgs, TINY_CLIP)
-    try:
-        new_params, new_opt, losses = ft.finetune_step(
-            params, opt_state, batch, jax.random.PRNGKey(5),
-            clip_params, vgg_params, bank, mcfg, rcfg, scfg, fcfg, optimizer)
-    finally:
-        cm.encode_image = orig
+    new_params, new_opt, losses = ft.finetune_step(
+        params, opt_state, batch, jax.random.PRNGKey(5),
+        clip_params, vgg_params, bank, mcfg, rcfg, scfg, fcfg, optimizer)
     return params, new_params, losses
 
 
@@ -94,3 +90,43 @@ def test_finetune_fix_module(tiny_setup):
         jax.tree_util.tree_leaves(new_params["implicit_surface"]),
         jax.tree_util.tree_leaves(params["implicit_surface"])))
     assert surf_delta > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_finetune_step_sharded_matches_single(tiny_setup):
+    """The mesh-sharded stylization step must reproduce the single-device
+    step (grads all-reduce over the data axis)."""
+    from nerfart_tpu.parallel.mesh import make_mesh, replicate
+
+    mcfg, params, rcfg, clip_params, vgg_params, bank = tiny_setup
+    H, W = 18, 12
+    scfg = StyleCfg(patch=L.PatchNCECfg(target_h=340, target_w=240,
+                                        pad_lr=10, pad_tb=10,
+                                        n_patches=1, is_full_res=False),
+                    clip_cfg=TINY_CLIP)
+    fcfg = ft.FinetuneCfg(H=H, W=W, framework="volsdf", use_eikonal=True,
+                          render_chunk=None, grad_chunk=72, fix_module=None)
+    optimizer = optax.adam(1e-3)
+    batch = {
+        "c2w": jnp.eye(4).at[2, 3].set(-2.5)[None],
+        "intrinsics": (jnp.eye(4).at[0, 0].set(15.).at[1, 1].set(15.)
+                       .at[0, 2].set(W / 2).at[1, 2].set(H / 2))[None],
+        "rgb": jax.random.uniform(jax.random.PRNGKey(9), (1, H * W, 3)),
+    }
+    key = jax.random.PRNGKey(5)
+
+    p1, _, l1 = ft.finetune_step(
+        params, optimizer.init(params), batch, key, clip_params, vgg_params,
+        bank, mcfg, rcfg, scfg, fcfg, optimizer)
+
+    mesh = make_mesh(8)
+    p8, _, l8 = ft.finetune_step(
+        replicate(params, mesh), optimizer.init(replicate(params, mesh)),
+        batch, key, clip_params, vgg_params,
+        bank, mcfg, rcfg, scfg, fcfg, optimizer, mesh=mesh)
+
+    np.testing.assert_allclose(float(l8["total"]), float(l1["total"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)

@@ -192,7 +192,7 @@ def main_function(args):
         rcfg = bundle.make_render_cfg(test=False)
         step_fn = ft.make_finetune_step(
             clip_params, vgg_params, bank, bundle.mcfg, rcfg, scfg, fcfg,
-            optimizer)
+            optimizer, mesh=mesh)
     else:
         if bundle.name == "unisurf":
             from nerfart_tpu.models.unisurf import UnisurfTrainCfg
