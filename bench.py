@@ -50,6 +50,14 @@ def main():
                                          W_geo_feat=256, embed_multires=-1,
                                          embed_multires_view=-1,
                                          use_view_dirs=True))
+        ckpt = os.environ.get("BENCH_CKPT")
+        if ckpt and os.path.exists(ckpt):
+            # measure on a real trained checkpoint (same architecture)
+            from nerfart_tpu.utils.checkpoints import CheckpointIO
+            blob = CheckpointIO(os.path.dirname(ckpt) or ".",
+                                allow_mkdir=False).load_file(
+                                    ckpt, framework="volsdf")
+            return mcfg, jax.tree_util.tree_map(jnp.asarray, blob["model"])
         return mcfg, V.init_volsdf(jax.random.PRNGKey(42), mcfg)
 
     # the reference's headline render is --H 480 --W 270 (README.md:60-65)
@@ -88,6 +96,10 @@ def main():
 
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
 
+    def dataclasses_replace_perturb_off(rcfg):
+        import dataclasses
+        return dataclasses.replace(rcfg, perturb=False)
+
     def run_scenario(beta_init, epsilon=0.1):
         mcfg, params = make_model(beta_init)
         rcfg = make_rcfg(epsilon)
@@ -104,6 +116,18 @@ def main():
         # stress: epsilon so tight no ray ever converges — every ray pays
         # the full 6-iteration error-bounded pipeline (sampler upper bound)
         rps = run_scenario(beta_init=0.1, epsilon=1e-4)
+    elif scenario == "wavefront":
+        # host-side two-stage adaptive rendering (models/wavefront.py):
+        # full budget only for rays the 1-iteration pass left unconverged
+        from nerfart_tpu.models.wavefront import wavefront_render
+        mcfg, params = make_model(0.1)
+        rcfg = dataclasses_replace_perturb_off(make_rcfg(0.1))
+        ro, rd = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+        rgb, _, _ = wavefront_render(params, ro, rd, mcfg, rcfg)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            rgb, _, _ = wavefront_render(params, ro, rd, mcfg, rcfg)
+        rps = H * W / ((time.perf_counter() - t0) / n_iters)
     else:
         # converged-state (trained-scene-like, matches the reference
         # protocol; measured: both trained checkpoints and fresh

@@ -99,8 +99,14 @@ def make_fused_bisect(N: int, max_bisection: int, eps: float,
         _, beta_right = jax.lax.fori_loop(
             0, max_bisection, bisect_step, (beta_left0, beta_right0))
         beta_ref[:] = beta_right
-        bounds_ref[:] = jnp.clip(
+        final_b = jnp.clip(
             bound(1.0 / beta_right, beta_right, need_bounds=True), 0.0, 1e5)
+        # the bounds block is padded to N lanes (dead last column) so every
+        # VMEM block in the kernel keeps a 128-aligned lane dimension when
+        # N is a multiple of 128 (sample counts 640 + 512k are) — guide
+        # pitfall #2; the caller slices the pad off
+        bounds_ref[:] = jnp.concatenate(
+            [final_b, jnp.zeros_like(final_b[:, :1])], axis=1)
 
     @jax.jit
     def run(d_vals, sdf, beta_hi, alpha_net, beta_net):
@@ -135,16 +141,16 @@ def make_fused_bisect(N: int, max_bisection: int, eps: float,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_r, N - 1), lambda i: (i, 0),
+                pl.BlockSpec((tile_r, N), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
                 jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
-                jax.ShapeDtypeStruct((Rp, N - 1), jnp.float32),
+                jax.ShapeDtypeStruct((Rp, N), jnp.float32),
             ),
         )(d_vals, sdf, beta_hi, anet, bnet)
-        return nbm[:R, 0], beta_out[:R], bounds[:R]
+        return nbm[:R, 0], beta_out[:R], bounds[:R, :N - 1]
 
     return run
 

@@ -276,6 +276,12 @@ def main_function(args):
                     logger.add_imgs(to_img(jnp.asarray(
                         val_gt["rgb"])[None]), "val/gt_rgb", it)
                     logger.add_imgs(to_img(rgb), "val/predicted_rgb", it)
+                    mse = float(np.mean((np.clip(np.asarray(rgb), 0, 1)
+                                         - np.asarray(val_gt["rgb"])) ** 2))
+                    val_psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+                    logger.add("val", "psnr", val_psnr, it)
+                    log.info("=> val view %d PSNR %.2f dB", int(vidx),
+                             val_psnr)
                     logger.add_imgs(to_img(
                         (depth_v / (depth_v.max() + 1e-10))[..., None]),
                         "val/pred_depth_volume", it)
