@@ -198,15 +198,23 @@ def main_function(args):
     name = args.exp_name or args["expname"]
 
     def write_video(path, frames, **kw):
+        # mp4 needs an ffmpeg/pyav imageio backend; when absent (this
+        # sandbox), write an animated gif instead of failing per-file
         try:
             imageio.mimwrite(path, frames, fps=args.fps, **kw)
-        except Exception as e:  # no ffmpeg backend: fall back to PNG frames
-            log.warning("video write failed for %s (%s); dumping frames",
-                        path, type(e).__name__)
-            base = os.path.splitext(path)[0]
-            cond_mkdir(base)
-            for i, f in enumerate(frames):
-                imageio.imwrite(os.path.join(base, f"{i + 1:05d}.png"), f)
+        except Exception:
+            gif = os.path.splitext(path)[0] + ".gif"
+            try:
+                imageio.mimwrite(gif, frames, fps=args.fps)
+                log.info("no mp4 backend; wrote %s instead", gif)
+            except Exception as e:  # last resort: PNG frames
+                log.warning("video write failed for %s (%s); dumping frames",
+                            path, type(e).__name__)
+                base = os.path.splitext(path)[0]
+                cond_mkdir(base)
+                for i, f in enumerate(frames):
+                    imageio.imwrite(
+                        os.path.join(base, f"{i + 1:05d}.png"), f)
 
     if not args.disable_rgb:
         write_video(os.path.join("out", f"{name}_rgb.mp4"),
