@@ -56,6 +56,9 @@ def get_model(args) -> FrameworkBundle:
                 args["data"].get("obj_bounding_radius", 1.0)),
             perturb=bool(model.get("perturb", True)),
             white_bkgd=bool(model.get("white_bkgd", False)),
+            sampler_dtype=str(model.get("sampler_dtype", "float32")),
+            rays_chunk=(int(model["rays_chunk"])
+                        if model.get("rays_chunk") else None),
         )
         test_kw = dict(train_kw)
         test_kw["perturb"] = False

@@ -326,6 +326,10 @@ def render_kwargs_from_config(args) -> Dict[str, Any]:
         max_upsample_steps=int(args["model"].get("max_upsample_iter", 5)),
         use_nerfplusplus=args["model"].get("outside_scene", "builtin") == "nerf++",
         obj_bounding_radius=float(args["model"]["obj_bounding_radius"]),
+        # TPU perf knobs, settable from YAML / `--model:key v` overrides
+        sampler_dtype=str(args["model"].get("sampler_dtype", "float32")),
+        rays_chunk=(int(args["model"]["rays_chunk"])
+                    if args["model"].get("rays_chunk") else None),
     )
     test = dict(train)
     test["perturb"] = False

@@ -12,6 +12,7 @@ without the addict dependency:
 The reference's YAML configs (configs/*.yaml) load unchanged.
 """
 import argparse
+import ast
 import copy
 import os
 from typing import Any, Dict, List, Optional
@@ -88,14 +89,24 @@ def update_config(config: ConfigDict, unknown: List[str]) -> ConfigDict:
         raw = unknown[idx + 1]
         if ":" in arg:
             k1, k2 = arg.replace("--", "").split(":")
-            cur = config[k1][k2]
-            if isinstance(cur, bool):
-                v = raw.lower() == "true"
-            elif cur is not None:
-                v = type(cur)(raw)
+            if k2 in config[k1]:
+                cur = config[k1][k2]
+                if isinstance(cur, bool):
+                    v = raw.lower() == "true"
+                elif cur is not None:
+                    v = type(cur)(raw)
+                else:
+                    v = raw
             else:
-                v = raw
-            print(f"Changing {k1}:{k2} ---- {config[k1][k2]} to {v}")
+                # extension over the reference (io_util.py:245 raises
+                # KeyError): allow introducing NEW keys from the CLI, with
+                # literal-eval coercion (e.g. `--model:rays_chunk 512`)
+                try:
+                    v = ast.literal_eval(raw)
+                except (ValueError, SyntaxError):
+                    v = raw
+                print(f"Adding new config key {k1}:{k2}")
+            print(f"Changing {k1}:{k2} ---- {config[k1].get(k2)} to {v}")
             config[k1][k2] = v
         else:
             k = arg.replace("--", "")

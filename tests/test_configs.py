@@ -31,6 +31,22 @@ def test_volsdf_nature_config():
     assert not rcfg_t.perturb
 
 
+def test_perf_knobs_passthrough():
+    """model.sampler_dtype / model.rays_chunk flow from YAML (or `--model:k
+    v` CLI overrides) into both frameworks' render configs."""
+    args = load_yaml(os.path.join(CFG_DIR, "volsdf_fangzhou_nature.yaml"))
+    args["model"]["sampler_dtype"] = "bfloat16"
+    args["model"]["rays_chunk"] = 512
+    rcfg = get_model(args).make_render_cfg(test=False)
+    assert rcfg.sampler_dtype == "bfloat16" and rcfg.rays_chunk == 512
+
+    args = load_yaml(os.path.join(CFG_DIR, "neus_fangzhou.yaml"))
+    args["model"]["sampler_dtype"] = "bfloat16"
+    args["model"]["rays_chunk"] = 1024
+    rcfg = get_model(args).make_render_cfg(test=False)
+    assert rcfg.sampler_dtype == "bfloat16" and rcfg.rays_chunk == 1024
+
+
 def test_neus_config():
     args = load_yaml(os.path.join(CFG_DIR, "neus_fangzhou.yaml"))
     bundle = get_model(args)
