@@ -50,7 +50,12 @@ def main():
                                          W_geo_feat=256, embed_multires=-1,
                                          embed_multires_view=-1,
                                          use_view_dirs=True))
-        ckpt = os.environ.get("BENCH_CKPT")
+        # default to the shipped full-size trained checkpoint so the
+        # driver's plain `python bench.py` measures the reference's
+        # trained-scene protocol on real weights
+        default_ckpt = os.path.join(os.path.dirname(os.path.abspath(
+            __file__)), "pretrained", "volsdf_fangzhou_r2.npz")
+        ckpt = os.environ.get("BENCH_CKPT", default_ckpt)
         if ckpt and os.path.exists(ckpt):
             # measure on a real trained checkpoint (same architecture)
             from nerfart_tpu.utils.checkpoints import CheckpointIO

@@ -49,6 +49,12 @@ training:
                                   "--data:downscale", "4"])
     assert c.training.num_iters == 7 and isinstance(c.training.num_iters, int)
     assert c.data.downscale == 4
+    # NEW keys may be introduced from the CLI (extension over the
+    # reference, which KeyErrors at io_util.py:245); literal-eval coercion
+    c = cfg_mod.update_config(c, ["--model:rays_chunk", "512",
+                                  "--model:sampler_dtype", "bfloat16"])
+    assert c.model.rays_chunk == 512
+    assert c.model.sampler_dtype == "bfloat16"
     # save/load roundtrip
     c.training["exp_dir"] = "/tmp/x"
     cfg_mod.save_config(c, str(tmp_path / "saved.yaml"))
