@@ -132,9 +132,6 @@ class VolSDFRenderCfg:
     # 'xla' or 'pallas': the fused VMEM-resident MLP kernel for the no-grad
     # sampler queries (ops/pallas/fused_mlp.py)
     sampler_backend: str = "xla"
-    # fuse the error-bound/bisection phase into one Pallas kernel
-    # (ops/pallas/fused_bisect.py)
-    fused_bisect: bool = False
 
 
 def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -189,8 +186,7 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         max_bisection=rcfg.max_bisection_steps,
         final_N_importance=rcfg.N_importance,
         N_up=rcfg.N_samples * 4,
-        perturb=rcfg.perturb, key=k_fine,
-        fused_bisect=rcfg.fused_bisect)
+        perturb=rcfg.perturb, key=k_fine)
 
     # coarse+fine concat ('not per paper but needed', volsdf.py:497-503)
     d_all = jnp.sort(jnp.concatenate([d_coarse, d_fine], axis=-1), axis=-1)

@@ -94,7 +94,6 @@ def fine_sample(
     N_up: int = 128,
     perturb: bool = True,
     key: Optional[jax.Array] = None,
-    fused_bisect: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Error-bounded adaptive sampling (VolSDF paper §3.4; volsdf.py:97-302).
 
@@ -163,59 +162,33 @@ def fine_sample(
             d_vals = jnp.take_along_axis(d_new, order, axis=-1)
             sdf = jnp.take_along_axis(sdf_new, order, axis=-1)
 
-            if fused_bisect:
-                # one Pallas kernel: convergence check + 10-step bisection
-                # + next-iteration bounds, with (d, sdf) VMEM-resident
-                # (ops/pallas/fused_bisect.py). Kernel bounds use beta_right
-                # for ALL rays; they differ from the unfused path only on
-                # already-converged rays, whose outputs are frozen.
-                from nerfart_tpu.ops.pallas.fused_bisect import \
-                    get_fused_bisect
-                cur_n = d_vals.shape[-1]
-                fn = get_fused_bisect(cur_n, max_bisection, float(eps))
-                nbm_f, beta_right_f, bounds_f = fn(
-                    d_vals.reshape(-1, cur_n), sdf.reshape(-1, cur_n),
-                    beta.reshape(-1, 1), alpha_net, beta_net)
-                net_bounds_max = nbm_f.reshape(prefix)
-                beta_right = beta_right_f.reshape(*prefix, 1)
-                bounds = bounds_f.reshape(*prefix, cur_n - 1)
-                newly = active & (net_bounds_max <= eps)
-                cand = opacity_invert_cdf_sample(
-                    d_vals, sdf, alpha_net, beta_net, final_N_importance,
-                    det=not perturb, key=keys[it])
-                final_fine = jnp.where(newly[..., None], cand, final_fine)
-                iter_usage = jnp.where(newly, float(it), iter_usage)
-                converged = converged | newly
-                still = active & ~newly
-                beta = jnp.where(still[..., None], beta_right, beta)
-            else:
-                # convergence check after upsampling (volsdf.py:240-251)
-                net_bounds_max = error_bound(
-                    d_vals, sdf, alpha_net, beta_net).max(axis=-1)
-                newly = active & (net_bounds_max <= eps)
-                cand = opacity_invert_cdf_sample(
-                    d_vals, sdf, alpha_net, beta_net, final_N_importance,
-                    det=not perturb, key=keys[it])
-                final_fine = jnp.where(newly[..., None], cand, final_fine)
-                iter_usage = jnp.where(newly, float(it), iter_usage)
-                converged = converged | newly
-                still = active & ~newly
+            # convergence check after upsampling (volsdf.py:240-251)
+            net_bounds_max = error_bound(
+                d_vals, sdf, alpha_net, beta_net).max(axis=-1)
+            newly = active & (net_bounds_max <= eps)
+            cand = opacity_invert_cdf_sample(
+                d_vals, sdf, alpha_net, beta_net, final_N_importance,
+                det=not perturb, key=keys[it])
+            final_fine = jnp.where(newly[..., None], cand, final_fine)
+            iter_usage = jnp.where(newly, float(it), iter_usage)
+            converged = converged | newly
+            still = active & ~newly
 
-                # bisection for beta+ s.t. bound(beta+)==eps (volsdf.py:255-275)
-                beta_right = beta
-                beta_left = jnp.broadcast_to(
-                    jnp.asarray(beta_net, dtype), beta.shape)
-                for _ in range(max_bisection):
-                    beta_tmp = 0.5 * (beta_left + beta_right)
-                    btm = error_bound(
-                        d_vals, sdf, 1.0 / beta_tmp, beta_tmp).max(
-                            axis=-1, keepdims=True)
-                    beta_right = jnp.where(btm <= eps, beta_tmp, beta_right)
-                    beta_left = jnp.where(btm > eps, beta_tmp, beta_left)
-                beta = jnp.where(still[..., None], beta_right, beta)
+            # bisection for beta+ s.t. bound(beta+)==eps (volsdf.py:255-275)
+            beta_right = beta
+            beta_left = jnp.broadcast_to(
+                jnp.asarray(beta_net, dtype), beta.shape)
+            for _ in range(max_bisection):
+                beta_tmp = 0.5 * (beta_left + beta_right)
+                btm = error_bound(
+                    d_vals, sdf, 1.0 / beta_tmp, beta_tmp).max(
+                        axis=-1, keepdims=True)
+                beta_right = jnp.where(btm <= eps, beta_tmp, beta_right)
+                beta_left = jnp.where(btm > eps, beta_tmp, beta_left)
+            beta = jnp.where(still[..., None], beta_right, beta)
 
-                bounds = jnp.clip(
-                    error_bound(d_vals, sdf, 1.0 / beta, beta), 0, 1e5)
+            bounds = jnp.clip(
+                error_bound(d_vals, sdf, 1.0 / beta, beta), 0, 1e5)
             return (d_vals, sdf, bounds, beta, converged, final_fine,
                     iter_usage)
 
