@@ -1,0 +1,87 @@
+"""Capture a jax.profiler trace of the converged-protocol render.
+
+Writes a trace under out/profile_render/ for TensorBoard's trace viewer;
+prints the steady-state rays/s it measured around the capture.
+
+Usage (on TPU, with the chip otherwise idle):
+    python tools/profile_render.py --ckpt pretrained/volsdf_fangzhou_r2.npz
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from nerfart_tpu.models import base as nets  # noqa: E402
+from nerfart_tpu.models import volsdf as V  # noqa: E402
+from nerfart_tpu.ops.rays import get_rays  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--H", type=int, default=480)
+    ap.add_argument("--W", type=int, default=270)
+    ap.add_argument("--chunk", type=int, default=1080)
+    ap.add_argument("--outdir", type=str, default="out/profile_render")
+    args = ap.parse_args()
+
+    mcfg = V.VolSDFCfg(
+        beta_init=0.1, speed_factor=10.0, obj_bounding_radius=3.0,
+        surface=nets.ImplicitSurfaceCfg(W=256, D=8, skips=(4,),
+                                        W_geo_feat=256, embed_multires=6,
+                                        obj_bounding_size=3.0),
+        radiance=nets.RadianceNetCfg(D=4, W=256, skips=(), W_geo_feat=256,
+                                     embed_multires=-1,
+                                     embed_multires_view=-1,
+                                     use_view_dirs=True))
+    if args.ckpt and os.path.exists(args.ckpt):
+        from nerfart_tpu.utils.checkpoints import CheckpointIO
+        blob = CheckpointIO(os.path.dirname(args.ckpt) or ".",
+                            allow_mkdir=False).load_file(args.ckpt,
+                                                         framework="volsdf")
+        params = jax.tree_util.tree_map(jnp.asarray, blob["model"])
+    else:
+        params = V.init_volsdf(jax.random.PRNGKey(42), mcfg)
+
+    H, W = args.H, args.W
+    c2w = jnp.eye(4).at[2, 3].set(-2.5)
+    intr = (jnp.eye(4).at[0, 0].set(550.0).at[1, 1].set(550.0)
+            .at[0, 2].set(W / 2).at[1, 2].set(H / 2))
+    rays_o, rays_d, _ = get_rays(c2w[None], intr[None], H, W, N_rays=-1)
+
+    rcfg = V.VolSDFRenderCfg(
+        near=0.0, far=6.0, obj_bounding_radius=3.0, N_samples=128,
+        N_importance=64, max_upsample_steps=6, max_bisection_steps=10,
+        epsilon=0.1, calc_normal=True, require_nablas=True,
+        detailed_output=False, rays_chunk=args.chunk,
+        sampler_dtype="bfloat16")
+    render = jax.jit(V.volume_render, static_argnames=("mcfg", "rcfg"))
+
+    def once():
+        rgb, _, _ = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
+        jax.block_until_ready(rgb)
+        return float(np.asarray(rgb.reshape(-1)[0]))
+
+    once()  # compile
+    t0 = time.perf_counter()
+    once()
+    print(f"pre-capture: {H * W / (time.perf_counter() - t0):.0f} rays/s")
+
+    os.makedirs(args.outdir, exist_ok=True)
+    with jax.profiler.trace(args.outdir):
+        once()
+    t0 = time.perf_counter()
+    once()
+    print(f"post-capture: {H * W / (time.perf_counter() - t0):.0f} rays/s")
+    print("trace in", args.outdir)
+
+
+if __name__ == "__main__":
+    main()
