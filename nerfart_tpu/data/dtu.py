@@ -40,14 +40,26 @@ class SceneDataset:
         self.train_cameras = train_cameras
         self.downscale = downscale
 
+        # accept both the NeRF-Art layout (images/ + matte/ + cameras.npz)
+        # and the IDR/NeuS layout (image/ + mask/ + cameras_sphere.npz),
+        # which the shipped shuquan_nature/preprocessed scene uses
         image_paths = sorted(glob_imgs(os.path.join(data_dir, "images")))
+        if not image_paths:
+            image_paths = sorted(glob_imgs(os.path.join(data_dir, "image")))
+        assert image_paths, f"no images under {data_dir}/(images|image)"
         mask_paths = sorted(glob_imgs(os.path.join(data_dir, "matte")))
+        if not mask_paths:
+            mask_paths = sorted(glob_imgs(os.path.join(data_dir, "mask")))
         self.n_images = len(image_paths)
 
         tmp = load_rgb(image_paths[0], downscale)
         _, self.H, self.W = tmp.shape
 
-        self.cam_file = os.path.join(data_dir, cam_file or "cameras.npz")
+        if cam_file is None:
+            cam_file = "cameras.npz"
+            if not os.path.exists(os.path.join(data_dir, cam_file)):
+                cam_file = "cameras_sphere.npz"
+        self.cam_file = os.path.join(data_dir, cam_file)
         camera_dict = np.load(self.cam_file)
         scale_mats = [camera_dict[f"scale_mat_{i}"].astype(np.float32)
                       for i in range(self.n_images)]
