@@ -67,7 +67,9 @@ def main(args):
                                          bundle.mcfg, rcfg)
         return rgb
 
+    from nerfart_tpu.ops.metrics import ssim as ssim_fn
     scores = []
+    ssims = []
     outdir = None
     if args.dump_dir:
         outdir = args.dump_dir
@@ -80,20 +82,26 @@ def main(args):
         rgb = np.asarray(rgb).reshape(H, W, 3)
         gt_img = np.asarray(gt["rgb"]).reshape(H, W, 3)
         s = psnr(np.clip(rgb, 0, 1), gt_img)
+        sim = float(ssim_fn(np.clip(rgb, 0, 1), gt_img))
         scores.append(s)
-        log.info("view %d: PSNR %.2f dB (%.1fs, %.0f rays/s)", v, s,
-                 time.time() - t0, H * W / max(time.time() - t0, 1e-9))
+        ssims.append(sim)
+        log.info("view %d: PSNR %.2f dB SSIM %.3f (%.1fs, %.0f rays/s)",
+                 v, s, sim, time.time() - t0,
+                 H * W / max(time.time() - t0, 1e-9))
         if outdir is not None:
             import imageio.v2 as imageio
             imageio.imwrite(os.path.join(outdir, f"eval_{v:03d}_pred.png"),
                             (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
             imageio.imwrite(os.path.join(outdir, f"eval_{v:03d}_gt.png"),
                             (gt_img * 255).astype(np.uint8))
-    log.info("ckpt step %s | %d views @ %dx%d | mean PSNR %.2f dB",
-             str(step), len(views), H, W, float(np.mean(scores)))
+    log.info("ckpt step %s | %d views @ %dx%d | mean PSNR %.2f dB "
+             "mean SSIM %.3f", str(step), len(views), H, W,
+             float(np.mean(scores)), float(np.mean(ssims)))
     print({"step": step, "views": views, "H": H, "W": W,
            "psnr": [round(s, 2) for s in scores],
-           "mean_psnr": round(float(np.mean(scores)), 2)})
+           "mean_psnr": round(float(np.mean(scores)), 2),
+           "ssim": [round(s, 3) for s in ssims],
+           "mean_ssim": round(float(np.mean(ssims)), 3)})
 
 
 if __name__ == "__main__":
