@@ -171,7 +171,8 @@ def main_function(args):
         return (np.clip(img, 0, 1) * 255.0).astype(np.uint8)
 
     rgb_imgs, depth_imgs, normal_imgs = [], [], []
-    outdir = os.path.join("out", args.exp_name or args["expname"])
+    outbase = args.outbase or "out"
+    outdir = os.path.join(outbase, args.exp_name or args["expname"])
     cond_mkdir(outdir)
     cond_mkdir(os.path.join(outdir, "rgb"))
 
@@ -217,18 +218,18 @@ def main_function(args):
                         os.path.join(base, f"{i + 1:05d}.png"), f)
 
     if not args.disable_rgb:
-        write_video(os.path.join("out", f"{name}_rgb.mp4"),
+        write_video(os.path.join(outbase, f"{name}_rgb.mp4"),
                     rgb_imgs, quality=10)
-        write_video(os.path.join("out", f"{name}_rgb.gif"), rgb_imgs)
+        write_video(os.path.join(outbase, f"{name}_rgb.gif"), rgb_imgs)
         if args.save_depth:
-            write_video(os.path.join("out", f"{name}_depth.mp4"),
+            write_video(os.path.join(outbase, f"{name}_depth.mp4"),
                         depth_imgs, quality=10)
         if args.save_normal:
-            write_video(os.path.join("out", f"{name}_normal.mp4"),
+            write_video(os.path.join(outbase, f"{name}_normal.mp4"),
                         normal_imgs, quality=10)
             both = [np.concatenate([r, n], axis=0)
                     for r, n in zip(rgb_imgs, normal_imgs)]
-            write_video(os.path.join("out", f"{name}_rgb&normal.mp4"),
+            write_video(os.path.join(outbase, f"{name}_rgb&normal.mp4"),
                         both, quality=10)
     log.info("=> Done. Outputs in ./out")
 
