@@ -31,12 +31,16 @@ def _filter2d(img: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
     kw = jnp.broadcast_to(k1d[None, None, None, :], (1, 1, 1, size))
     dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW",
                                                         "NCHW"))
+    # HIGHEST precision: TPU's default bf16 conv passes break the
+    # E[x^2]-mu^2 variance cancellation in SSIM (observed SSIM > 1)
     x = lax.conv_general_dilated(x, kh, (1, 1), "VALID",
                                  dimension_numbers=dn,
-                                 feature_group_count=1)
+                                 feature_group_count=1,
+                                 precision=lax.Precision.HIGHEST)
     x = lax.conv_general_dilated(x, kw, (1, 1), "VALID",
                                  dimension_numbers=dn,
-                                 feature_group_count=1)
+                                 feature_group_count=1,
+                                 precision=lax.Precision.HIGHEST)
     return jnp.moveaxis(x[:, 0], 0, -1)            # [H', W', C]
 
 
@@ -56,8 +60,8 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray, max_val: float = 1.0,
     mu_pp = mu_p * mu_p
     mu_gg = mu_g * mu_g
     mu_pg = mu_p * mu_g
-    sigma_pp = _filter2d(pred * pred, kernel) - mu_pp
-    sigma_gg = _filter2d(gt * gt, kernel) - mu_gg
+    sigma_pp = jnp.maximum(_filter2d(pred * pred, kernel) - mu_pp, 0.0)
+    sigma_gg = jnp.maximum(_filter2d(gt * gt, kernel) - mu_gg, 0.0)
     sigma_pg = _filter2d(pred * gt, kernel) - mu_pg
 
     num = (2.0 * mu_pg + c1) * (2.0 * sigma_pg + c2)
