@@ -188,6 +188,11 @@ def main_function(args):
             H=H, W=W, framework=bundle.name,
             w_eikonal=float(fcfg_sec.get("w_eikonal", 0.1)),
             use_eikonal=bool(fcfg_sec.get("use_eikonal", True)),
+            # memory knobs (the reference hardcodes 2000/1200 'for
+            # 3090Ti', volsdf.py:720,754); the full-size ds2 finetune
+            # exhausts a single v5e's HBM at the defaults — see QUALITY.md
+            render_chunk=int(fcfg_sec.get("render_chunk", 4096)),
+            grad_chunk=int(fcfg_sec.get("grad_chunk", 2048)),
             fix_module="radiance_net" if bundle.name == "neus" else None)
         rcfg = bundle.make_render_cfg(test=False)
         step_fn = ft.make_finetune_step(
