@@ -327,6 +327,14 @@ def render_kwargs_from_config(args) -> Dict[str, Any]:
         rays_chunk=(int(args["model"]["rays_chunk"])
                     if args["model"].get("rays_chunk") else None),
     )
+    # optional sampling-budget overrides (reference leaves these at the
+    # volume_render defaults; mapped only when present so the shipped
+    # reference configs keep exact parity)
+    for k in ("N_samples", "N_importance", "N_outside",
+              "max_bisection_steps", "epsilon"):
+        if k in args["model"]:
+            train[k] = type(VolSDFRenderCfg.__dataclass_fields__[
+                k].default)(args["model"][k])
     test = dict(train)
     test["perturb"] = False
     return train, test
