@@ -48,11 +48,55 @@ class FinetuneCfg:
     grad_chunk: int = 2048
     # 'radiance_net' frozen for NeuS finetune (neus.py:28), None for VolSDF
     fix_module: Optional[str] = None
+    # compile the step as three separate XLA programs (pass-1 render /
+    # style gradient / pass-2 vjp scan + update) instead of one. Same
+    # math and results; bounds XLA's global-optimization blowup — the
+    # monolithic full-size program exceeded 28 min of compile on the
+    # remote-compile path (QUALITY.md)
+    split_programs: bool = False
 
 
 def _render_fn(framework: str):
     return {"volsdf": volsdf_fw.volume_render,
             "neus": neus_fw.volume_render}[framework.lower()]
+
+
+def _pass1_render(params: Params, batch: Dict[str, jnp.ndarray],
+                  key: jax.Array, mcfg, rcfg, fcfg: FinetuneCfg, mesh=None):
+    """Full-image no-grad render (volsdf.py:724-729). Returns
+    (rgb, rays_o, rays_d)."""
+    render = _render_fn(fcfg.framework)
+    # full-image rays (N_rays=-1, volsdf.py:706-708)
+    rays_o, rays_d, _ = ray_ops.get_rays(
+        batch["c2w"], batch["intrinsics"], fcfg.H, fcfg.W, N_rays=-1)
+    if mesh is not None:
+        from nerfart_tpu.parallel.mesh import shard_rays
+        rays_o = shard_rays(rays_o, mesh)
+        rays_d = shard_rays(rays_d, mesh)
+
+    is_volsdf = fcfg.framework.lower() == "volsdf"
+    p1_kw = dict(detailed_output=False, calc_normal=False,
+                 rays_chunk=fcfg.render_chunk)
+    if is_volsdf:
+        p1_kw["require_nablas"] = False
+    rcfg_p1 = dataclasses.replace(rcfg, **p1_kw)
+    rgb, _, _ = render(jax.lax.stop_gradient(params), rays_o, rays_d,
+                       mcfg, rcfg_p1, key=key)
+    return jax.lax.stop_gradient(rgb), rays_o, rays_d
+
+
+def _style_grad(clip_params: Params, vgg_params: Params, bank,
+                rgb: jnp.ndarray, target_rgb: jnp.ndarray, key: jax.Array,
+                scfg: StyleCfg, fcfg: FinetuneCfg):
+    """Style loss and its image-space gradient dL/dRGB — the reference's
+    cached `rgb.grad` (volsdf.py:732-751)."""
+    def sl(rgb_img):
+        total, parts = style_loss(clip_params, vgg_params, bank, rgb_img,
+                                  target_rgb, fcfg.H, key, scfg)
+        return total, parts
+
+    (loss_style, parts), rgb_grad = jax.value_and_grad(sl, has_aux=True)(rgb)
+    return loss_style, parts, rgb_grad
 
 
 def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
@@ -66,39 +110,32 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
     pass-2 gradient block shard over the 'data' axis; XLA all-reduces the
     accumulated parameter grads (DDP-equivalent for stylization, which the
     reference never had: its finetune is single-GPU only)."""
-    render = _render_fn(fcfg.framework)
-    H, W = fcfg.H, fcfg.W
     k_r1, k_style, k_r2 = jax.random.split(key, 3)
 
-    # full-image rays (N_rays=-1, volsdf.py:706-708)
-    rays_o, rays_d, _ = ray_ops.get_rays(
-        batch["c2w"], batch["intrinsics"], H, W, N_rays=-1)
-    target_rgb = batch["rgb"]
-    if mesh is not None:
-        from nerfart_tpu.parallel.mesh import shard_rays
-        rays_o = shard_rays(rays_o, mesh)
-        rays_d = shard_rays(rays_d, mesh)
+    rgb, rays_o, rays_d = _pass1_render(params, batch, k_r1, mcfg, rcfg,
+                                        fcfg, mesh)
+    loss_style, parts, rgb_grad = _style_grad(
+        clip_params, vgg_params, bank, rgb, batch["rgb"], k_style, scfg,
+        fcfg)
+    params, opt_state, eik_avg = _pass2_update(
+        params, opt_state, rays_o, rays_d, rgb_grad, k_r2, mcfg, rcfg,
+        fcfg, optimizer, mesh)
 
-    # ---------------- pass 1: no-grad full render (volsdf.py:724-729)
+    losses = dict(parts)
+    losses["style_total"] = loss_style
+    losses["eikonal_avg"] = eik_avg
+    losses["total"] = loss_style + eik_avg
+    return params, opt_state, losses
+
+
+def _pass2_update(params: Params, opt_state, rays_o, rays_d, rgb_grad,
+                  key: jax.Array, mcfg, rcfg, fcfg: FinetuneCfg,
+                  optimizer: optax.GradientTransformation, mesh=None):
+    """Blockwise vjp accumulation + optimizer update (volsdf.py:759-771).
+    Returns (params, opt_state, eik_avg)."""
+    render = _render_fn(fcfg.framework)
     is_volsdf = fcfg.framework.lower() == "volsdf"
-    p1_kw = dict(detailed_output=False, calc_normal=False,
-                 rays_chunk=fcfg.render_chunk)
-    if is_volsdf:
-        p1_kw["require_nablas"] = False
-    rcfg_p1 = dataclasses.replace(rcfg, **p1_kw)
-    rgb, _, _ = render(jax.lax.stop_gradient(params), rays_o, rays_d,
-                       mcfg, rcfg_p1, key=k_r1)
-    rgb = jax.lax.stop_gradient(rgb)
-
-    # ---------------- style loss and its image-space gradient
-    def sl(rgb_img):
-        total, parts = style_loss(clip_params, vgg_params, bank, rgb_img,
-                                  target_rgb, H, k_style, scfg)
-        return total, parts
-
-    (loss_style, parts), rgb_grad = jax.value_and_grad(sl, has_aux=True)(rgb)
-
-    # ---------------- pass 2: blockwise vjp accumulation (volsdf.py:759-771)
+    k_r2 = key
     B = rays_o.shape[0]
     M = rays_o.shape[1]
     chunk = fcfg.grad_chunk
@@ -160,12 +197,7 @@ def finetune_step(params: Params, opt_state, batch: Dict[str, jnp.ndarray],
 
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-
-    losses = dict(parts)
-    losses["style_total"] = loss_style
-    losses["eikonal_avg"] = eik_total / n_blocks
-    losses["total"] = loss_style + eik_total / n_blocks
-    return params, opt_state, losses
+    return params, opt_state, eik_total / n_blocks
 
 
 def make_finetune_step(clip_params, vgg_params, bank, mcfg, rcfg,
@@ -178,6 +210,42 @@ def make_finetune_step(clip_params, vgg_params, bank, mcfg, rcfg,
     constants — closing over ~100 MB of CLIP/VGG weights makes XLA
     constant-fold them into the executable (minutes of extra compile)."""
     from nerfart_tpu.criteria.losses import TextBank
+
+    if fcfg.split_programs:
+        # three separate XLA programs; same math, bounded compile times.
+        # Intermediate arrays stay on device — the host only sequences.
+        @jax.jit
+        def j_pass1(params, batch, key):
+            return _pass1_render(params, batch, key, mcfg, rcfg, fcfg,
+                                 mesh)
+
+        @jax.jit
+        def j_style(clip_p, vgg_p, td, tf, nf, rgb, target_rgb, key):
+            return _style_grad(clip_p, vgg_p, TextBank(td, tf, nf), rgb,
+                               target_rgb, key, scfg, fcfg)
+
+        @jax.jit
+        def j_pass2(params, opt_state, rays_o, rays_d, rgb_grad, key):
+            return _pass2_update(params, opt_state, rays_o, rays_d,
+                                 rgb_grad, key, mcfg, rcfg, fcfg,
+                                 optimizer, mesh)
+
+        def step(params, opt_state, batch, key):
+            k_r1, k_style, k_r2 = jax.random.split(key, 3)
+            rgb, rays_o, rays_d = j_pass1(params, batch, k_r1)
+            loss_style, parts, rgb_grad = j_style(
+                clip_params, vgg_params, bank.text_direction,
+                bank.target_feats, bank.neg_feats, rgb, batch["rgb"],
+                k_style)
+            params, opt_state, eik_avg = j_pass2(
+                params, opt_state, rays_o, rays_d, rgb_grad, k_r2)
+            losses = dict(parts)
+            losses["style_total"] = loss_style
+            losses["eikonal_avg"] = eik_avg
+            losses["total"] = loss_style + eik_avg
+            return params, opt_state, losses
+
+        return step
 
     def _fn(params, opt_state, batch, key, clip_p, vgg_p, td, tf, nf):
         return finetune_step(params, opt_state, batch, key, clip_p, vgg_p,

@@ -130,3 +130,41 @@ def test_finetune_step_sharded_matches_single(tiny_setup):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p8)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_split_programs_match_monolith(tiny_setup):
+    """fcfg.split_programs compiles three programs instead of one; the
+    math and RNG stream are identical, so results must match exactly."""
+    mcfg, params, rcfg, clip_params, vgg_params, bank = tiny_setup
+    H, W = 18, 12
+    scfg = StyleCfg(patch=L.PatchNCECfg(target_h=340, target_w=240,
+                                        pad_lr=10, pad_tb=10,
+                                        n_patches=1, is_full_res=False),
+                    clip_cfg=TINY_CLIP)
+    optimizer = optax.adam(1e-3)
+    batch = {
+        "c2w": jnp.eye(4).at[2, 3].set(-2.5)[None],
+        "intrinsics": (jnp.eye(4).at[0, 0].set(15.).at[1, 1].set(15.)
+                       .at[0, 2].set(W / 2).at[1, 2].set(H / 2))[None],
+        "rgb": jax.random.uniform(jax.random.PRNGKey(9), (1, H * W, 3)),
+    }
+    outs = {}
+    for split in (False, True):
+        fcfg = ft.FinetuneCfg(H=H, W=W, framework="volsdf",
+                              use_eikonal=True, render_chunk=None,
+                              grad_chunk=72, split_programs=split)
+        step = ft.make_finetune_step(clip_params, vgg_params, bank, mcfg,
+                                     rcfg, scfg, fcfg, optimizer)
+        p = jax.tree_util.tree_map(jnp.array, params)
+        outs[split] = step(p, optimizer.init(p), batch,
+                           jax.random.PRNGKey(5))
+    p_mono, _, l_mono = outs[False]
+    p_split, _, l_split = outs[True]
+    for k in l_mono:
+        np.testing.assert_allclose(np.asarray(l_mono[k]),
+                                   np.asarray(l_split[k]), rtol=2e-5,
+                                   atol=2e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(p_mono),
+                    jax.tree_util.tree_leaves(p_split)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

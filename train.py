@@ -193,6 +193,7 @@ def main_function(args):
             # exhausts a single v5e's HBM at the defaults — see QUALITY.md
             render_chunk=int(fcfg_sec.get("render_chunk", 4096)),
             grad_chunk=int(fcfg_sec.get("grad_chunk", 2048)),
+            split_programs=bool(fcfg_sec.get("split_programs", False)),
             fix_module="radiance_net" if bundle.name == "neus" else None)
         rcfg = bundle.make_render_cfg(test=False)
         step_fn = ft.make_finetune_step(
