@@ -1,31 +1,59 @@
 """Benchmark: VolSDF novel-view rendering throughput on real hardware.
 
-Headline metric matching the reference's only published number
-(reference README.md:65: 90 views at 480x270 in ~30 min on an RTX 3090
-= ~6.5k rays/s end-to-end, BASELINE.md): rays/sec for full-quality VolSDF
-volume rendering (128 coarse + error-bounded fine sampling with the
-volsdf_fangzhou_nature budget: 512 dense init, 6 upsample iters x 512,
-64 importance).
+Protocol matches the reference's only published number (reference
+README.md:65: 90 views at 480x270 in ~30 min on an RTX 3090 = ~6.5k
+rays/s end-to-end, BASELINE.md), measured on the shipped full-size
+trained checkpoint (pretrained/volsdf_fangzhou_r2.npz).
 
-The reference's number is measured on a TRAINED scene, where its
-per-ray sampler exits the upsampling loop immediately (volsdf.py:184-188
-breaks when no ray exceeds the error bound; measured on checkpoints
-trained here, 100% of rays converge at iteration 0). The headline
-scenario therefore uses a converged-state model (geometric-init sphere
-with the error bound satisfied at the initial sampling — the same
-early-exit behavior as a trained checkpoint); a full-budget stress
-(eps=1e-4: every ray pays all 6 upsample iterations) is reported
-alongside as `full_budget_stress_rays_per_sec`.
+Three scenarios, each a bounded child process:
+  dense   — headline. TPU-native dense sampling (512-pt init +
+            opacity-CDF importance, no iterative refinement). Verified
+            PSNR-identical to the full reference budget on the same
+            checkpoint/views (QUALITY.md: 29.27 vs 29.25 dB).
+  converged — the reference's EXACT 6-iteration error-bounded sampler
+            (volsdf_fangzhou_nature budget: 128 coarse + 512 dense init
+            + <=6x512 upsample + 64 importance, eps=0.1, <=10 bisections)
+            on the trained scene -> reference_budget_rays_per_sec.
+  stress  — eps=1e-4: every ray pays all 6 upsample iterations
+            (sampler upper bound) -> full_budget_stress_rays_per_sec.
 
-Prints ONE JSON line:
-  {"metric": "volsdf_render_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N / 6500, "full_budget_stress_rays_per_sec": M, ...}
+Output contract: one or more JSON lines on stdout; every line is a
+complete result and the LAST line is the most complete (the driver
+parses the last JSON line of the tail). The headline line is printed
+and flushed the MOMENT the dense scenario completes, so a driver
+timeout or a later TPU fault can never erase it. The whole run is
+bounded by one wall-clock budget (BENCH_WALL_BUDGET_SEC, default 780 s);
+on SIGTERM/SIGALRM the best result so far is emitted before exit.
+Fields: metric=volsdf_render_dense_rays_per_sec, value, unit,
+vs_baseline (dense/6500), reference_budget_rays_per_sec,
+reference_budget_vs_baseline, full_budget_stress_rays_per_sec.
 """
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the dominant cold-start cost over the
+    tunneled backend is compilation (minutes for the full-frame render
+    program); with a warm on-disk cache the driver's `python bench.py`
+    skips it entirely. No-op if the backend doesn't support executable
+    serialization."""
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(_REPO, ".jax_cache_tpu"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
 
 
 def main():
@@ -34,6 +62,7 @@ def main():
 
     from nerfart_tpu.utils.platform import apply_env_platform
     apply_env_platform()
+    _enable_compile_cache()
 
     from nerfart_tpu.models import base as nets
     from nerfart_tpu.models import volsdf as V
@@ -53,11 +82,10 @@ def main():
         # default to the shipped full-size trained checkpoint so the
         # driver's plain `python bench.py` measures the reference's
         # trained-scene protocol on real weights
-        default_ckpt = os.path.join(os.path.dirname(os.path.abspath(
-            __file__)), "pretrained", "volsdf_fangzhou_r2.npz")
+        default_ckpt = os.path.join(_REPO, "pretrained",
+                                    "volsdf_fangzhou_r2.npz")
         ckpt = os.environ.get("BENCH_CKPT", default_ckpt)
         if ckpt and os.path.exists(ckpt):
-            # measure on a real trained checkpoint (same architecture)
             from nerfart_tpu.utils.checkpoints import CheckpointIO
             blob = CheckpointIO(os.path.dirname(ckpt) or ".",
                                 allow_mkdir=False).load_file(
@@ -77,6 +105,7 @@ def main():
     rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 1080))
     sampler_dtype = os.environ.get("BENCH_SAMPLER_DTYPE", "bfloat16")
     sampler_backend = os.environ.get("BENCH_SAMPLER_BACKEND", "xla")
+
     def make_rcfg(epsilon):
         return V.VolSDFRenderCfg(
             near=0.0, far=6.0, obj_bounding_radius=3.0,
@@ -101,13 +130,12 @@ def main():
 
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
 
-    def dataclasses_replace_perturb_off(rcfg):
-        import dataclasses
-        return dataclasses.replace(rcfg, perturb=False)
-
-    def run_scenario(beta_init, epsilon=0.1):
+    def run_scenario(beta_init, epsilon=0.1, max_upsample_steps=None):
         mcfg, params = make_model(beta_init)
         rcfg = make_rcfg(epsilon)
+        if max_upsample_steps is not None:
+            import dataclasses as _dc
+            rcfg = _dc.replace(rcfg, max_upsample_steps=max_upsample_steps)
         rgb, _, _ = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
         sync(rgb)  # warmup/compile
         t0 = time.perf_counter()
@@ -119,70 +147,67 @@ def main():
     scenario = os.environ.get("BENCH_SCENARIO", "converged")
     if scenario == "dense":
         # TPU-native fast path: dense 512-sample init + opacity-CDF
-        # importance, NO iterative error-bound refinement. Measured on the
-        # shipped 18k-iter checkpoint: mean PSNR 29.27 dB vs 29.25 dB for
-        # the full 6-iteration budget on the same views (QUALITY.md) —
-        # identical quality, ~5x throughput: the dense init already
-        # resolves the opacity profile and the MXU eats dense evals,
-        # while the refinement loop is VPU-bound (sorts + cumsum chains).
-        mcfg, params = make_model(0.1)
-        rcfg0 = make_rcfg(0.1)
-        import dataclasses as _dc
-        rcfg = _dc.replace(rcfg0, max_upsample_steps=0)
-        rgb, _, _ = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
-        sync(rgb)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            rgb, _, _ = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
-            sync(rgb)
-        rps = H * W / ((time.perf_counter() - t0) / n_iters)
+        # importance, NO iterative error-bound refinement — the dense init
+        # already resolves the opacity profile and the MXU eats dense
+        # evals, while the refinement loop is VPU-bound.
+        rps = run_scenario(beta_init=0.1, max_upsample_steps=0)
     elif scenario == "stress":
-        # stress: epsilon so tight no ray ever converges — every ray pays
-        # the full 6-iteration error-bounded pipeline (sampler upper bound)
+        # epsilon so tight no ray ever converges — every ray pays the full
+        # 6-iteration error-bounded pipeline (sampler upper bound)
         rps = run_scenario(beta_init=0.1, epsilon=1e-4)
-    elif scenario == "wavefront":
-        # host-side two-stage adaptive rendering (models/wavefront.py):
-        # full budget only for rays the 1-iteration pass left unconverged
-        from nerfart_tpu.models.wavefront import wavefront_render
-        mcfg, params = make_model(0.1)
-        rcfg = dataclasses_replace_perturb_off(make_rcfg(0.1))
-        ro, rd = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
-        rgb, _, _ = wavefront_render(params, ro, rd, mcfg, rcfg)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            rgb, _, _ = wavefront_render(params, ro, rd, mcfg, rcfg)
-        rps = H * W / ((time.perf_counter() - t0) / n_iters)
     else:
-        # converged-state (trained-scene-like, matches the reference
-        # protocol; measured: both trained checkpoints and fresh
-        # geometric-init models satisfy the error bound at the dense init
-        # sampling, so the sampler loop is skipped — the same early exit
-        # as the reference volsdf.py:184-188 on trained scenes)
-        rps = run_scenario(beta_init=1.0)
+        # the reference's exact sampling budget on the trained scene
+        # (measured: ~2 upsample iterations resolve the error bound)
+        rps = run_scenario(beta_init=0.1)
     print(json.dumps({"scenario": scenario, "rays_per_sec": round(rps, 1)}))
 
 
 _PROBE = ("import jax, numpy as np; x = jax.numpy.ones((8, 8));"
-          "y = (x @ x).block_until_ready();"
+          "y = (x @ x); jax.block_until_ready(y);"
           "print('PROBE_OK', jax.devices(), float(np.asarray(y)[0, 0]))")
 
-
-def _fail(reason, detail=""):
-    print(json.dumps({"metric": "volsdf_render_rays_per_sec",
-                      "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
-                      "error": reason, "detail": detail[-1500:]}))
+_BASELINE = 6500.0  # RTX 3090 end-to-end on a trained scene (README.md:65)
 
 
-def _probe_backend(timeout_sec=300):
+class _Guard:
+    """One global wall-clock budget + incremental result emission.
+
+    `emit()` prints the current best result as a full JSON line (flushed)
+    every time it improves; SIGTERM/SIGALRM emit-and-exit so the driver
+    always captures the latest state even if it kills the process."""
+
+    def __init__(self, budget_sec):
+        self.t0 = time.monotonic()
+        self.budget = budget_sec
+        self.result = {
+            "metric": "volsdf_render_dense_rays_per_sec", "value": 0.0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "error": "no scenario completed within budget"}
+        signal.signal(signal.SIGTERM, self._on_signal)
+        signal.signal(signal.SIGALRM, self._on_signal)
+        signal.alarm(int(budget_sec))
+
+    def _on_signal(self, signum, frame):
+        self.result.setdefault("note_truncated",
+                               f"killed_by_signal_{signum}")
+        self.emit()
+        os._exit(0)
+
+    def remaining(self):
+        return self.budget - (time.monotonic() - self.t0)
+
+    def emit(self):
+        sys.stdout.write(json.dumps(self.result) + "\n")
+        sys.stdout.flush()
+
+
+def _probe_backend(timeout_sec=60):
     """Health-check the backend in a throwaway child process.
 
     Distinguishes 'backend never initialized' (round-1 failure mode: the
-    tunneled PJRT server was down and every jax call raised
-    'Unable to initialize backend') from 'benchmark ran slow'. Returns
-    (ok, classified_reason, detail).
-    """
+    tunneled PJRT server was down and every jax call raised 'Unable to
+    initialize backend') from 'benchmark ran slow'."""
     import subprocess
-    import sys
     try:
         out = subprocess.run([sys.executable, "-c", _PROBE],
                              capture_output=True, text=True,
@@ -197,91 +222,101 @@ def _probe_backend(timeout_sec=300):
     return False, "backend_probe_failed", err
 
 
-def _guarded():
-    """Run the benchmark in a child with a deadline: the tunneled TPU
-    backend can wedge indefinitely (observed in round 1), and the driver
-    needs a JSON line either way. Probes backend health first and retries
-    initialization with backoff before giving up."""
+def _run_child(scenario, timeout_sec):
     import subprocess
-    import sys
+    env = dict(os.environ, BENCH_INNER="1", BENCH_SCENARIO=scenario)
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=timeout_sec)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout_after_{int(timeout_sec)}s"
+    for line in (out.stdout or "").splitlines():
+        if line.startswith("{"):
+            try:
+                return json.loads(line)["rays_per_sec"], ""
+            except (ValueError, KeyError):
+                pass
+    err = out.stderr or ""
+    sys.stderr.write(err[-2000:])
+    if "Unable to initialize backend" in err:
+        return None, "backend_init_failure_mid_bench"
+    return None, "scenario_subprocess_no_result"
 
-    # 1) backend health probe with retry/backoff (the round-1 zero came
-    #    from an init failure reported as a generic 'no result')
+
+def _guarded():
+    """Budgeted orchestration. Scenario order is fault-risk order: the
+    dense headline first (safest, and its JSON line is emitted the moment
+    it lands), then the reference-budget number, then the stress case
+    (observed in round 2 to occasionally fault the tunneled TPU — by
+    running it last, a fault can no longer cost any earlier number)."""
+    g = _Guard(float(os.environ.get("BENCH_WALL_BUDGET_SEC", 780)))
+
+    # 1) backend health probe: single 60 s attempts with short backoff,
+    #    bounded by the global budget (round-2's unbounded ~25 min of
+    #    probe backoff is exactly what made the driver's timeout fire
+    #    with nothing printed).
     ok = False
-    probe_detail = ""
-    for attempt, backoff in enumerate((0, 15, 60, 180)):
+    reason, detail = "budget_exhausted_before_probe", ""
+    for backoff in (0, 20, 60, 120):
+        if g.remaining() < 70:
+            break
         if backoff:
-            time.sleep(backoff)
-        ok, reason, probe_detail = _probe_backend()
+            time.sleep(min(backoff, max(0.0, g.remaining() - 70)))
+        ok, reason, detail = _probe_backend(timeout_sec=60)
         if ok:
             break
-        sys.stderr.write(f"bench: backend probe attempt {attempt + 1} "
-                         f"failed ({reason})\n")
+        sys.stderr.write(f"bench: backend probe failed ({reason})\n")
     if not ok:
-        _fail(reason, probe_detail)
+        g.result["error"] = reason
+        g.result["detail"] = detail[-1500:]
+        g.emit()
         return
 
-    # 2) run each scenario in its OWN child process: a device fault in one
-    #    scenario (observed round 2: the eps=1e-4 stress path can fault the
-    #    TPU) must never lose the headline number.
-    deadline = int(os.environ.get("BENCH_DEADLINE_SEC", 2400))
-
-    def run_child(scenario, timeout_sec):
-        env = dict(os.environ, BENCH_INNER="1", BENCH_SCENARIO=scenario)
-        try:
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=timeout_sec)
-        except subprocess.TimeoutExpired:
-            return None, f"timeout_after_{timeout_sec}s"
-        for l in (out.stdout or "").splitlines():
-            if l.startswith("{"):
-                try:
-                    return json.loads(l)["rays_per_sec"], ""
-                except (ValueError, KeyError):
-                    pass
-        err = out.stderr or ""
-        sys.stderr.write(err[-2000:])
-        if "Unable to initialize backend" in err:
-            return None, "backend_init_failure_mid_bench"
-        return None, "scenario_subprocess_no_result"
-
-    # headline: the TPU-native dense path on the shipped trained
-    # checkpoint — PSNR-parity-verified against the full budget
-    # (QUALITY.md: 29.27 vs 29.25 dB mean on the same views/ckpt)
-    dense_rps, dense_err = run_child("dense", deadline)
+    # 2) headline: dense scenario. Emit immediately on success.
+    dense_rps, dense_err = _run_child(
+        "dense", min(max(g.remaining() - 60, 60), 600))
     if dense_rps is None:
-        _fail(dense_err)
+        g.result["error"] = dense_err
+        g.emit()
+        # a dead headline usually means a wedged device; don't poke it more
         return
-    # the reference's exact sampling budget (6-iteration error-bounded
-    # refinement), allowed to fail without costing the headline
-    refb_rps, refb_err = run_child("converged", max(600, deadline // 2))
-    stress_rps, stress_err = run_child("stress", max(300, deadline // 4))
-
-    baseline = 6500.0  # RTX 3090 end-to-end on a trained scene (README.md:65)
-    result = {
-        "metric": "volsdf_render_rays_per_sec",
-        "value": round(dense_rps, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(dense_rps / baseline, 3),
-        "note": "value: trained 18k-iter checkpoint, TPU-native dense "
-                "sampling (512-pt init + opacity-CDF importance, no "
-                "iterative refinement) — quality-parity-verified vs the "
-                "full reference budget: mean PSNR 29.27 vs 29.25 dB on "
-                "the same views (QUALITY.md). reference_budget = the "
-                "reference's exact 6-iteration error-bounded sampler; "
-                "stress = eps=1e-4 (every ray pays all 6 iterations)",
+    g.result = {
+        "metric": "volsdf_render_dense_rays_per_sec",
+        "value": round(dense_rps, 1), "unit": "rays/s",
+        "vs_baseline": round(dense_rps / _BASELINE, 3),
+        "note": "dense = TPU-native sampling (512-pt init + opacity-CDF "
+                "importance, no refinement loop) on the shipped trained "
+                "checkpoint, PSNR-parity-verified vs the full reference "
+                "budget (QUALITY.md: 29.27 vs 29.25 dB same views). "
+                "reference_budget = the reference's exact 6-iteration "
+                "error-bounded sampler; stress = eps=1e-4 (all rays pay "
+                "all 6 iterations). baseline 6500 rays/s = RTX 3090.",
     }
-    if refb_rps is not None:
-        result["reference_budget_rays_per_sec"] = round(refb_rps, 1)
-        result["reference_budget_vs_baseline"] = round(refb_rps / baseline, 3)
-    else:
-        result["reference_budget_error"] = refb_err
-    if stress_rps is not None:
-        result["full_budget_stress_rays_per_sec"] = round(stress_rps, 1)
-    else:
-        result["stress_error"] = stress_err
-    print(json.dumps(result))
+    g.emit()
+
+    # 3) reference-exact budget (best-effort appendix)
+    if g.remaining() > 90:
+        refb_rps, refb_err = _run_child(
+            "converged", min(max(g.remaining() - 45, 60), 420))
+        if refb_rps is not None:
+            g.result["reference_budget_rays_per_sec"] = round(refb_rps, 1)
+            g.result["reference_budget_vs_baseline"] = round(
+                refb_rps / _BASELINE, 3)
+        else:
+            g.result["reference_budget_error"] = refb_err
+        g.emit()
+
+    # 4) stress (best-effort; riskiest last)
+    if g.remaining() > 180 and not os.environ.get("BENCH_SKIP_STRESS"):
+        stress_rps, stress_err = _run_child(
+            "stress", min(max(g.remaining() - 45, 60), 300))
+        if stress_rps is not None:
+            g.result["full_budget_stress_rays_per_sec"] = round(
+                stress_rps, 1)
+        else:
+            g.result["stress_error"] = stress_err
+        g.emit()
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ patch crop positions) — CLIP/VGG forward+backward never leave the device.
 Reference semantics preserved per function (file:line cited inline).
 """
 import dataclasses
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +32,9 @@ Params = Any
 def encode_templates(clip_params: Params, tokenizer, class_str: str,
                      templates: Sequence[str] = imagenet_templates,
                      batch: int = 128,
-                     clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
-                     ) -> jnp.ndarray:
-    """Normalized per-template text features [T, 512]
+                     clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32,
+                     norm: bool = True) -> jnp.ndarray:
+    """Per-template text features [T, 512], normalized unless norm=False
     (reference clip_loss.py:222-232)."""
     texts = [t.format(class_str) for t in templates]
     tokens = tokenizer.tokenize(texts)
@@ -44,6 +44,8 @@ def encode_templates(clip_params: Params, tokenizer, class_str: str,
         feats.append(enc(clip_params, jnp.asarray(tokens[i:i + batch]),
                          cfg=clip_cfg))
     feats = jnp.concatenate(feats, axis=0)
+    if not norm:
+        return feats
     return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
 
@@ -54,28 +56,69 @@ def compute_text_direction(src_feats: jnp.ndarray,
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
+def compute_text_distance(src_feats_unnorm: jnp.ndarray,
+                          tgt_feats_unnorm: jnp.ndarray) -> jnp.ndarray:
+    """Squared UN-normalized mean edit direction [1, 512] — the
+    `text_distance` target of the reference's distance loss
+    (clip_loss.py:256-258: compute_text_direction(norm=False) ** 2)."""
+    d = (tgt_feats_unnorm - src_feats_unnorm).mean(axis=0, keepdims=True)
+    return d ** 2
+
+
+def compute_feature_direction(clip_params: Params, src_imgs: jnp.ndarray,
+                              tar_imgs: jnp.ndarray,
+                              clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+                              ) -> jnp.ndarray:
+    """Image-pair feature direction from example image lists
+    (reference clip_loss.py:176-198 + 272-279).
+
+    src_imgs/tar_imgs: [N, 3, H, W] in [0, 1] (the reference's
+    ToTensor'd PIL images). Reproduces the reference exactly, including
+    its quirk at clip_loss.py:195: the SOURCE mean is divided a second
+    time by len(tar_img_list) while the target features stay an unscaled
+    SUM (the final direction is normalized, but the asymmetric scaling
+    still changes where the difference points)."""
+    def mean_feats(imgs):
+        f = _img_features(clip_params, pp.preprocess_square224(imgs),
+                          clip_cfg=clip_cfg)
+        return f.sum(axis=0, keepdims=True)
+
+    src = mean_feats(src_imgs) / src_imgs.shape[0] / tar_imgs.shape[0]
+    tar = mean_feats(tar_imgs)
+    d = (tar - src).mean(axis=0, keepdims=True)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
 @dataclasses.dataclass
 class TextBank:
     """All text features a stylization run needs, precomputed once."""
     text_direction: jnp.ndarray        # [1, 512]
     target_feats: jnp.ndarray          # [T, 512] target templates
     neg_feats: jnp.ndarray             # [N_neg, T, 512] negative-text templates
+    # [1, 512] squared unnorm direction (clip_loss.py:258); only needed
+    # when StyleCfg.use_distance is on
+    text_distance: Optional[jnp.ndarray] = None
 
     @staticmethod
     def build(clip_params: Params, tokenizer, src_text: str, target_text: str,
               neg_texts: List[str],
               clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
               ) -> "TextBank":
-        src = encode_templates(clip_params, tokenizer, src_text,
-                               clip_cfg=clip_cfg)
-        tgt = encode_templates(clip_params, tokenizer, target_text,
-                               clip_cfg=clip_cfg)
+        # encode once unnormalized; derive both the normalized features
+        # and the distance-loss target from the same pass
+        src_u = encode_templates(clip_params, tokenizer, src_text,
+                                 clip_cfg=clip_cfg, norm=False)
+        tgt_u = encode_templates(clip_params, tokenizer, target_text,
+                                 clip_cfg=clip_cfg, norm=False)
+        src = src_u / jnp.linalg.norm(src_u, axis=-1, keepdims=True)
+        tgt = tgt_u / jnp.linalg.norm(tgt_u, axis=-1, keepdims=True)
         negs = [encode_templates(clip_params, tokenizer, t, clip_cfg=clip_cfg)
                 for t in neg_texts]
         return TextBank(
             text_direction=compute_text_direction(src, tgt),
             target_feats=tgt,
             neg_feats=jnp.stack(negs) if negs else jnp.zeros((0, *tgt.shape)),
+            text_distance=compute_text_distance(src_u, tgt_u),
         )
 
 
@@ -95,21 +138,54 @@ def _img_features(clip_params, img, norm=True,
 # losses
 # --------------------------------------------------------------------------
 
+def direction_loss(x: jnp.ndarray, y: jnp.ndarray,
+                   loss_type: str = "cosine") -> jnp.ndarray:
+    """The reference's DirectionLoss (clip_loss.py:136-153):
+    cosine -> 1 - cos per row; mse/mae -> element-mean over the
+    broadcast pair (torch's default 'mean' reduction)."""
+    if loss_type == "cosine":
+        return 1.0 - jnp.sum(x * y, axis=-1) / (
+            jnp.linalg.norm(x, axis=-1) * jnp.linalg.norm(y, axis=-1))
+    x, y = jnp.broadcast_arrays(x, y)
+    if loss_type == "mse":
+        return ((x - y) ** 2).mean()
+    if loss_type == "mae":
+        return jnp.abs(x - y).mean()
+    raise ValueError(f"unknown DirectionLoss type {loss_type!r}")
+
+
 def directional_clip_loss(clip_params: Params, rgb_gt: jnp.ndarray,
                           rgb_pred: jnp.ndarray,
                           text_direction: jnp.ndarray,
-                          clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
-                          ) -> jnp.ndarray:
-    """1 - cos(image edit direction, text direction)
-    (reference clip_loss.py:244-254 with 'cosine' DirectionLoss)."""
+                          clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32,
+                          loss_type: str = "cosine") -> jnp.ndarray:
+    """DirectionLoss(image edit direction, text direction)
+    (reference clip_loss.py:244-254; default 'cosine' = 1 - cos).
+    Also serves the image-pair variant (clip_loss.py:281-291) by passing
+    a `compute_feature_direction` result as `text_direction`."""
     src = _img_features(clip_params, pp.preprocess_square224(rgb_gt),
                         clip_cfg=clip_cfg)
     tgt = _img_features(clip_params, pp.preprocess_square224(rgb_pred),
                         clip_cfg=clip_cfg)
     edit = tgt - src
     edit = edit / jnp.linalg.norm(edit, axis=-1, keepdims=True)
-    cos = jnp.sum(edit * text_direction, axis=-1)
-    return (1.0 - cos).mean()
+    return direction_loss(edit, text_direction, loss_type).mean()
+
+
+def clip_distance_loss(clip_params: Params, rgb_gt: jnp.ndarray,
+                       rgb_pred: jnp.ndarray, text_distance: jnp.ndarray,
+                       scale: float = 1.0,
+                       clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+                       ) -> jnp.ndarray:
+    """Squared-feature-distance matching (reference clip_loss.py:256-268,
+    `use_distance`): image features UN-normalized, edit distance
+    scale*(tgt-src)^2 pulled toward the squared text direction."""
+    src = _img_features(clip_params, pp.preprocess_square224(rgb_gt),
+                        norm=False, clip_cfg=clip_cfg)
+    tgt = _img_features(clip_params, pp.preprocess_square224(rgb_pred),
+                        norm=False, clip_cfg=clip_cfg)
+    edit_distance = scale * (tgt - src) ** 2
+    return ((edit_distance - text_distance) ** 2).mean()
 
 
 def vgg_perceptual_loss(vgg_params: Params, rgb_pred: jnp.ndarray,
@@ -130,19 +206,41 @@ def global_contrastive_loss(clip_params: Params, rgb_gt: jnp.ndarray,
                             target_feats: jnp.ndarray,
                             neg_feat: jnp.ndarray,
                             margin: float = 2.0,
-                            clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+                            clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32,
+                            distance_type: str = "euclidean"
                             ) -> jnp.ndarray:
-    """Margin-2 euclidean triplet on CLIP features
-    (reference contrastive_loss.py:139-153, 'euclidean'):
+    """Contrastive triplet on CLIP features with the reference's three
+    distance types (reference contrastive_loss.py:139-181):
     pull pred toward target-text templates, push from (negative text,
-    original image)."""
+    original image). 'euclidean' = margin-2 hinge on L2 distances;
+    'cosine' = the same hinge shape on raw cosine similarities;
+    'infonce' (reference spelling 'infornce') = softmax over the three
+    L2 distances at temperature 1."""
     src_enc = _img_features(clip_params, pp.preprocess_shorter_crop224(
         pp.gan_unnormalize(rgb_gt)), clip_cfg=clip_cfg)
     tgt_enc = _img_features(clip_params, pp.preprocess_shorter_crop224(
         pp.gan_unnormalize(rgb_pred)), clip_cfg=clip_cfg)
+    if distance_type == "cosine":
+        # nn.CosineSimilarity on already-normalized features
+        c_near = jnp.sum(tgt_enc * target_feats, axis=-1)            # [T]
+        c_far_text = jnp.sum(tgt_enc * neg_feat, axis=-1)            # [T]
+        c_far_img = jnp.sum(tgt_enc * src_enc, axis=-1)              # [1]
+        return jnp.mean(c_near ** 2
+                        + jnp.clip(margin - c_far_text, a_min=0.0) ** 2
+                        + jnp.clip(margin - c_far_img, a_min=0.0) ** 2)
     d_near = jnp.linalg.norm(tgt_enc - target_feats, axis=-1)        # [T]
     d_far_text = jnp.linalg.norm(tgt_enc - neg_feat, axis=-1)        # [T]
     d_far_img = jnp.linalg.norm(tgt_enc - src_enc, axis=-1)          # [1]
+    if distance_type in ("infonce", "infornce"):
+        # temperature-1 softmax over the three distances
+        # (contrastive_loss.py:164-175; note pos = exp(+distance), as
+        # written in the reference)
+        pos = jnp.exp(d_near)
+        neg_text = jnp.exp(d_far_text)
+        neg_img = jnp.exp(d_far_img)
+        return jnp.mean(-jnp.log(pos / (pos + neg_text + neg_img)))
+    if distance_type != "euclidean":
+        raise ValueError(f"unknown distance_type {distance_type!r}")
     return jnp.mean(d_near ** 2
                     + jnp.clip(margin - d_far_text, a_min=0.0) ** 2
                     + jnp.clip(margin - d_far_img, a_min=0.0) ** 2)

@@ -31,6 +31,11 @@ class StyleCfg:
     n_patch_negs: int = 8          # volsdf.py:909
     patch: L.PatchNCECfg = L.PatchNCECfg()
     clip_cfg: clip_model.CLIPCfg = clip_model.VIT_B_32
+    # optional reference CLIPLoss/ContrastiveLoss modes
+    # (clip_loss.py:157, contrastive_loss.py:93)
+    direction_loss_type: str = "cosine"    # cosine | mse | mae
+    use_distance: bool = False             # + 1.0 * clip_distance_loss
+    contrastive_distance_type: str = "euclidean"  # | cosine | infonce
 
 
 def style_loss(clip_params: Params, vgg_params: Params, bank: L.TextBank,
@@ -50,7 +55,16 @@ def style_loss(clip_params: Params, vgg_params: Params, bank: L.TextBank,
     losses = {}
     losses["clip"] = cfg.w_clip * L.directional_clip_loss(
         clip_params, rgb_gt, rgb_pred, bank.text_direction,
-        clip_cfg=cfg.clip_cfg)
+        clip_cfg=cfg.clip_cfg, loss_type=cfg.direction_loss_type)
+    if cfg.use_distance:
+        # CLIPLoss.forward adds 1.0 * clip_distance_loss when
+        # use_distance is set (clip_loss.py:299-302), inside the
+        # w_clip-weighted term
+        assert bank.text_distance is not None, (
+            "use_distance needs TextBank.text_distance")
+        losses["clip"] = losses["clip"] + cfg.w_clip * L.clip_distance_loss(
+            clip_params, rgb_gt, rgb_pred, bank.text_distance,
+            clip_cfg=cfg.clip_cfg)
     losses["perceptual"] = cfg.w_perceptual * L.vgg_perceptual_loss(
         vgg_params, rgb_pred, rgb_gt)
 
@@ -58,7 +72,8 @@ def style_loss(clip_params: Params, vgg_params: Params, bank: L.TextBank,
     neg_idx = jax.random.randint(k_con, (), 0, n_neg)
     losses["contrastive"] = cfg.w_contrastive * L.global_contrastive_loss(
         clip_params, rgb_gt, rgb_pred, bank.target_feats,
-        bank.neg_feats[neg_idx], clip_cfg=cfg.clip_cfg)
+        bank.neg_feats[neg_idx], clip_cfg=cfg.clip_cfg,
+        distance_type=cfg.contrastive_distance_type)
 
     # 8 random negative texts for PatchNCE (volsdf.py:909-913). The
     # reference uses sampling without replacement; with a ~100-text bank a

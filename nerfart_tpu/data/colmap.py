@@ -165,14 +165,29 @@ def read_cameras_text(path):
 
 
 def read_images_text(path):
+    # Each image entry is a header line followed by exactly one points2D
+    # line, which may be EMPTY (zero keypoints) — so blank-line filtering
+    # can't be used to pair them; consume two data lines per entry like
+    # the official format spec prescribes.
     images = {}
-    lines = list(_data_lines(path))
-    for header in lines[0::2]:  # every other line is the points2D list
-        parts = header.split()
-        im_id = int(parts[0])
-        images[im_id] = Image(im_id, np.array(parts[1:5], dtype=np.float64),
-                              np.array(parts[5:8], dtype=np.float64),
-                              int(parts[8]), parts[9])
+    with open(path, "r") as f:
+        expecting_points = False
+        for line in f:
+            stripped = line.strip()
+            if stripped.startswith("#"):
+                continue
+            if expecting_points:
+                expecting_points = False  # points2D line (possibly empty)
+                continue
+            if not stripped:
+                continue
+            parts = stripped.split()
+            im_id = int(parts[0])
+            images[im_id] = Image(
+                im_id, np.array(parts[1:5], dtype=np.float64),
+                np.array(parts[5:8], dtype=np.float64),
+                int(parts[8]), parts[9])
+            expecting_points = True
     return images
 
 

@@ -19,6 +19,7 @@ Peak memory = one block's render graph, exactly like the reference, but
 with zero host round-trips and full XLA overlap between blocks.
 """
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -220,11 +221,16 @@ def make_finetune_step(clip_params, vgg_params, bank, mcfg, rcfg,
                                  mesh)
 
         @jax.jit
-        def j_style(clip_p, vgg_p, td, tf, nf, rgb, target_rgb, key):
-            return _style_grad(clip_p, vgg_p, TextBank(td, tf, nf), rgb,
-                               target_rgb, key, scfg, fcfg)
+        def j_style(clip_p, vgg_p, td, tf, nf, tdist, rgb, target_rgb,
+                    key):
+            return _style_grad(clip_p, vgg_p, TextBank(td, tf, nf, tdist),
+                               rgb, target_rgb, key, scfg, fcfg)
 
-        @jax.jit
+        # donate params/opt_state so the split path matches the monolithic
+        # step's memory profile — split mode exists precisely because
+        # full-size is HBM-tight (ray/grad buffers are not donatable:
+        # no same-shape outputs to alias them into)
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def j_pass2(params, opt_state, rays_o, rays_d, rgb_grad, key):
             return _pass2_update(params, opt_state, rays_o, rays_d,
                                  rgb_grad, key, mcfg, rcfg, fcfg,
@@ -235,8 +241,8 @@ def make_finetune_step(clip_params, vgg_params, bank, mcfg, rcfg,
             rgb, rays_o, rays_d = j_pass1(params, batch, k_r1)
             loss_style, parts, rgb_grad = j_style(
                 clip_params, vgg_params, bank.text_direction,
-                bank.target_feats, bank.neg_feats, rgb, batch["rgb"],
-                k_style)
+                bank.target_feats, bank.neg_feats, bank.text_distance,
+                rgb, batch["rgb"], k_style)
             params, opt_state, eik_avg = j_pass2(
                 params, opt_state, rays_o, rays_d, rgb_grad, k_r2)
             losses = dict(parts)
@@ -247,17 +253,18 @@ def make_finetune_step(clip_params, vgg_params, bank, mcfg, rcfg,
 
         return step
 
-    def _fn(params, opt_state, batch, key, clip_p, vgg_p, td, tf, nf):
+    def _fn(params, opt_state, batch, key, clip_p, vgg_p, td, tf, nf,
+            tdist):
         return finetune_step(params, opt_state, batch, key, clip_p, vgg_p,
-                             TextBank(td, tf, nf), mcfg=mcfg, rcfg=rcfg,
-                             scfg=scfg, fcfg=fcfg, optimizer=optimizer,
-                             mesh=mesh)
+                             TextBank(td, tf, nf, tdist), mcfg=mcfg,
+                             rcfg=rcfg, scfg=scfg, fcfg=fcfg,
+                             optimizer=optimizer, mesh=mesh)
 
     jitted = jax.jit(_fn, donate_argnums=(0, 1))
 
     def step(params, opt_state, batch, key):
         return jitted(params, opt_state, batch, key, clip_params,
                       vgg_params, bank.text_direction, bank.target_feats,
-                      bank.neg_feats)
+                      bank.neg_feats, bank.text_distance)
 
     return step

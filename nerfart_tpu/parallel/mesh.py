@@ -73,8 +73,11 @@ def auto_mesh(n_rays: Optional[int] = None) -> Optional[Mesh]:
     if n <= 1:
         return None
     if n_rays is not None:
-        while n > 1 and n_rays % n != 0:
-            n //= 2
+        # largest d <= n_devices that divides n_rays (halving from a
+        # non-power-of-two count can skip valid divisors, e.g. 6 -> 3 -> 1
+        # misses 2 for n_rays=64)
+        n = max((d for d in range(1, n + 1) if n_rays % d == 0),
+                default=1)
         if n <= 1:
             return None
     return make_mesh(n)

@@ -84,6 +84,19 @@ def main_function(args):
         args.camera_path, c2ws, args.num_views, args.camera_inds,
         args.rot_percentile, args.rot_rad)
     log.info("=> Camera path: %s", args.camera_path)
+    if args.debug:
+        # visualize the generated camera path before rendering
+        # (reference render.py:375-380 plots it via tools/vis_camera;
+        # headless here, so save the figure next to the outputs)
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.vis_camera import visualize as vis_cams
+        dbg_out = os.path.join(args.outbase or "out",
+                               f"camera_path_{args.camera_path}.png")
+        cond_mkdir(os.path.dirname(dbg_out))
+        vis_cams(intrinsics, np.linalg.inv(np.asarray(render_c2ws)),
+                 out=dbg_out)
+        log.info("=> Camera path plot saved: %s", dbg_out)
 
     use_surface = args.use_surface_render
     if use_surface:

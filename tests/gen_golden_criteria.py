@@ -229,7 +229,14 @@ def install_stubs(clip_model, vgg_model, tokenize_fn):
         BICUBIC = "bicubic"
         BILINEAR = "bilinear"
     tr.InterpolationMode = InterpolationMode
-    tr.ToTensor = lambda: (lambda x: x)
+    def _to_tensor(x):
+        # real torchvision semantics for the PIL path (clip_loss.py:178-183
+        # feeds PIL images); tensors pass through unchanged
+        if isinstance(x, torch.Tensor):
+            return x
+        arr = np.asarray(x, np.float32) / 255.0
+        return torch.from_numpy(arr).permute(2, 0, 1)
+    tr.ToTensor = lambda: _to_tensor
     trf = types.ModuleType("torchvision.transforms.functional")
 
     def crop(img, i, j, h, w):
@@ -357,10 +364,63 @@ def main():
             rgb_gt, src_text, rgb_pred, tgt_text))
         out["text_direction"] = clip_loss.text_direction.numpy()
 
+        # optional CLIPLoss modes (clip_loss.py:136-291)
+        for lt in ("mse", "mae"):
+            out[f"dir_clip_loss_{lt}"] = float(
+                CLIPLoss(direction_loss_type=lt)(
+                    rgb_gt, src_text, rgb_pred, tgt_text))
+        dist_loss = CLIPLoss(use_distance=True)
+        out["clip_loss_with_distance"] = float(dist_loss(
+            rgb_gt, src_text, rgb_pred, tgt_text))
+        out["clip_distance_loss"] = float(dist_loss.clip_distance_loss(
+            rgb_gt, src_text, rgb_pred, tgt_text))
+        out["text_distance"] = dist_loss.text_distance.numpy()
+
+        # image-pair feature direction: feed example images via temp PNGs
+        # (the reference constructor reads them from paths with PIL)
+        import tempfile
+        from PIL import Image as PILImage
+        src_arrs = [rng.rand(40, 32, 3).astype(np.float32)
+                    for _ in range(2)]
+        tar_arrs = [rng.rand(40, 32, 3).astype(np.float32)
+                    for _ in range(3)]
+
+        def save_pngs(arrs, tag, tdir):
+            paths = []
+            for i, a in enumerate(arrs):
+                p = f"{tdir}/{tag}_{i}.png"
+                PILImage.fromarray((a * 255).astype(np.uint8)).save(p)
+                paths.append(p)
+            return paths
+
+        with tempfile.TemporaryDirectory() as tdir:
+            src_paths = save_pngs(src_arrs, "src", tdir)
+            tar_paths = save_pngs(tar_arrs, "tar", tdir)
+            # PIL roundtrips through uint8; record the exact pixels the
+            # reference saw so the JAX side consumes identical inputs
+            out["feat_src_imgs"] = np.stack(
+                [np.asarray(PILImage.open(p).convert("RGB"),
+                            np.float32) / 255.0 for p in src_paths]
+            ).transpose(0, 3, 1, 2)
+            out["feat_tar_imgs"] = np.stack(
+                [np.asarray(PILImage.open(p).convert("RGB"),
+                            np.float32) / 255.0 for p in tar_paths]
+            ).transpose(0, 3, 1, 2)
+            feat_loss = CLIPLoss(src_img_list=src_paths,
+                                 tar_img_list=tar_paths)
+            out["feature_directional_loss"] = float(
+                feat_loss.forward_features(rgb_gt, rgb_pred))
+            out["feature_direction"] = (
+                feat_loss.feature_direction.numpy())
+
         out["vgg_loss"] = float(VGGPerceptualLoss()(rgb_pred, rgb_gt))
 
         out["contrastive_loss"] = float(ContrastiveLoss()(
             rgb_gt, neg_text_1, rgb_pred, tgt_text))
+        for dt in ("cosine", "infornce"):
+            out[f"contrastive_loss_{dt}"] = float(
+                ContrastiveLoss(distance_type=dt)(
+                    rgb_gt, neg_text_1, rgb_pred, tgt_text))
 
         # record the crop positions the reference samples
         positions = []

@@ -234,3 +234,87 @@ def test_golden_patchnce_loss(crit_setup):
         clip_cfg=TINY_CLIP)
     np.testing.assert_allclose(float(loss), float(g["patchnce_loss"]),
                                rtol=2e-4)
+
+
+def test_golden_direction_loss_types(crit_setup):
+    """mse/mae DirectionLoss variants (reference clip_loss.py:136-153)."""
+    g, clip_params, _, tok = crit_setup
+    src = _templates_feats(clip_params, tok, g["src_text"])
+    tgt = _templates_feats(clip_params, tok, g["tgt_text"])
+    direction = L.compute_text_direction(src, tgt)
+    for lt in ("mse", "mae"):
+        if f"dir_clip_loss_{lt}" not in g:
+            pytest.skip("regenerate criteria_losses.npz for loss modes")
+        loss = L.directional_clip_loss(
+            clip_params, jnp.asarray(g["rgb_gt"]),
+            jnp.asarray(g["rgb_pred"]), direction, clip_cfg=TINY_CLIP,
+            loss_type=lt)
+        np.testing.assert_allclose(float(loss),
+                                   float(g[f"dir_clip_loss_{lt}"]),
+                                   atol=2e-4)
+
+
+def test_golden_clip_distance_loss(crit_setup):
+    """use_distance mode (reference clip_loss.py:256-268, 296-303)."""
+    g, clip_params, _, tok = crit_setup
+    if "clip_distance_loss" not in g:
+        pytest.skip("regenerate criteria_losses.npz for loss modes")
+    src_u = L.encode_templates(clip_params, tok, str(g["src_text"]),
+                               clip_cfg=TINY_CLIP, norm=False)
+    tgt_u = L.encode_templates(clip_params, tok, str(g["tgt_text"]),
+                               clip_cfg=TINY_CLIP, norm=False)
+    tdist = L.compute_text_distance(src_u, tgt_u)
+    np.testing.assert_allclose(np.asarray(tdist), g["text_distance"],
+                               atol=2e-4)
+    loss = L.clip_distance_loss(
+        clip_params, jnp.asarray(g["rgb_gt"]), jnp.asarray(g["rgb_pred"]),
+        tdist, clip_cfg=TINY_CLIP)
+    np.testing.assert_allclose(float(loss), float(g["clip_distance_loss"]),
+                               rtol=2e-4, atol=1e-6)
+    # forward() with use_distance=True = directional + 1.0 * distance
+    src = src_u / jnp.linalg.norm(src_u, axis=-1, keepdims=True)
+    tgt = tgt_u / jnp.linalg.norm(tgt_u, axis=-1, keepdims=True)
+    direction = L.compute_text_direction(src, tgt)
+    combined = L.directional_clip_loss(
+        clip_params, jnp.asarray(g["rgb_gt"]), jnp.asarray(g["rgb_pred"]),
+        direction, clip_cfg=TINY_CLIP) + loss
+    np.testing.assert_allclose(float(combined),
+                               float(g["clip_loss_with_distance"]),
+                               atol=3e-4)
+
+
+def test_golden_feature_directional_loss(crit_setup):
+    """Image-pair feature direction (reference clip_loss.py:176-198,
+    272-291), including the reference's asymmetric src scaling."""
+    g, clip_params, _, tok = crit_setup
+    if "feature_directional_loss" not in g:
+        pytest.skip("regenerate criteria_losses.npz for loss modes")
+    fdir = L.compute_feature_direction(
+        clip_params, jnp.asarray(g["feat_src_imgs"]),
+        jnp.asarray(g["feat_tar_imgs"]), clip_cfg=TINY_CLIP)
+    np.testing.assert_allclose(np.asarray(fdir), g["feature_direction"],
+                               atol=2e-5)
+    loss = L.directional_clip_loss(
+        clip_params, jnp.asarray(g["rgb_gt"]), jnp.asarray(g["rgb_pred"]),
+        fdir, clip_cfg=TINY_CLIP)
+    np.testing.assert_allclose(float(loss),
+                               float(g["feature_directional_loss"]),
+                               atol=2e-4)
+
+
+def test_golden_contrastive_distance_types(crit_setup):
+    """cosine / infonce contrastive variants
+    (reference contrastive_loss.py:154-181)."""
+    g, clip_params, _, tok = crit_setup
+    tgt = _templates_feats(clip_params, tok, g["tgt_text"])
+    neg = _templates_feats(clip_params, tok, g["neg_text_1"])
+    for dt, key in (("cosine", "contrastive_loss_cosine"),
+                    ("infonce", "contrastive_loss_infornce")):
+        if key not in g:
+            pytest.skip("regenerate criteria_losses.npz for loss modes")
+        loss = L.global_contrastive_loss(
+            clip_params, jnp.asarray(g["rgb_gt"]),
+            jnp.asarray(g["rgb_pred"]), tgt, neg, clip_cfg=TINY_CLIP,
+            distance_type=dt)
+        np.testing.assert_allclose(float(loss), float(g[key]), rtol=2e-4,
+                                   atol=1e-6)
