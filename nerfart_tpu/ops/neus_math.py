@@ -86,7 +86,7 @@ def neus_upsample(
         sdf_fine = query_sdf(d_fine)
         _d = jnp.concatenate([_d, d_fine], axis=-1)
         _sdf = jnp.concatenate([_sdf, sdf_fine], axis=-1)
-        order = jnp.argsort(_d, axis=-1)
-        _d = jnp.take_along_axis(_d, order, axis=-1)
-        _sdf = jnp.take_along_axis(_sdf, order, axis=-1)
+        # co-sort sdf through the sort network (TPU: last-axis gathers
+        # after argsort are near-scalar; see ops/sampling.py docstring)
+        _d, _sdf = jax.lax.sort((_d, _sdf), dimension=-1, num_keys=1)
     return _d

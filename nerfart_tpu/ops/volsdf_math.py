@@ -153,14 +153,17 @@ def fine_sample(
             # upsample proportionally to the error bound; det=True with the
             # endpoint trim (volsdf.py:196). NOTE: a merge of the two sorted
             # sequences (ops/sampling.merge_sorted) was benchmarked against
-            # concat+argsort on TPU and lost (scatter > bitonic sort there).
+            # concat+sort on TPU and lost (scatter > bitonic sort there).
             up_d = sample_pdf(d_vals, bounds, N_up + 2, det=True)[..., 1:-1]
             up_sdf = query_sdf(up_d)
             d_new = jnp.concatenate([d_vals, up_d], axis=-1)
             sdf_new = jnp.concatenate([sdf, up_sdf], axis=-1)
-            order = jnp.argsort(d_new, axis=-1)
-            d_vals = jnp.take_along_axis(d_new, order, axis=-1)
-            sdf = jnp.take_along_axis(sdf_new, order, axis=-1)
+            # multi-operand lax.sort carries sdf through the sort network
+            # directly; argsort + 2x take_along_axis paid two last-axis
+            # gathers, which XLA lowers near-scalar on TPU (profiled at
+            # ~17% of the whole render; the sort itself was 0.3%)
+            d_vals, sdf = jax.lax.sort((d_new, sdf_new), dimension=-1,
+                                       num_keys=1)
 
             # convergence check after upsampling (volsdf.py:240-251)
             net_bounds_max = error_bound(
