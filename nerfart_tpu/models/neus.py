@@ -120,11 +120,20 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 compute=rcfg.sampler_dtype)
             return sdf.astype(rays_o.dtype)
     else:
+        if sampler_dtype != rays_o.dtype:
+            # cast the weights too, or promotion lifts every activation
+            # back to f32 after layer 1 (see models/volsdf.py sdf_fn)
+            surf_s = jax.tree_util.tree_map(
+                lambda a: a.astype(sampler_dtype),
+                params["implicit_surface"])
+        else:
+            surf_s = params["implicit_surface"]
+
         def sdf_fn(pts):
             if sampler_dtype != pts.dtype:
                 pts = pts.astype(sampler_dtype)
             sdf = nets.implicit_surface_fwd(
-                params["implicit_surface"], pts, mcfg.surface, return_h=False)
+                surf_s, pts, mcfg.surface, return_h=False)
             return sdf.astype(rays_o.dtype)
 
     # ---------- upsampling (neus.py:240-305)

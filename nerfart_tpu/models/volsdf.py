@@ -171,10 +171,22 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                                   - jnp.linalg.norm(pts, axis=-1))
             return sdf.astype(rays_o.dtype)
     else:
+        if sampler_dtype != rays_o.dtype:
+            # cast the params too: with f32 weights the bf16 input promotes
+            # straight back to f32 after layer 1, leaving the whole sampler
+            # MLP running f32 activations (profiled: the [R, 512, 256]
+            # softplus chains are VPU-bandwidth-bound, so bf16 activations
+            # halve their traffic). XLA hoists the loop-invariant cast out
+            # of the rays_chunk loop.
+            params_s = jax.tree_util.tree_map(
+                lambda a: a.astype(sampler_dtype), params)
+        else:
+            params_s = params
+
         def sdf_fn(pts):
             if sampler_dtype != pts.dtype:
                 pts = pts.astype(sampler_dtype)
-            sdf, _ = forward_surface(params, pts, mcfg)
+            sdf, _ = forward_surface(params_s, pts, mcfg)
             return sdf.astype(rays_o.dtype)
 
     d_fine, beta_map, iter_usage = volsdf_math.fine_sample(

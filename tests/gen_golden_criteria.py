@@ -135,23 +135,11 @@ def build_torch_clip(cfg, openai_sd):
 
 
 # --------------------------------------------------------------------------
-# torch VGG16 twin (torchvision `features` layout)
+# torch VGG16 twin: shared seeded builder (tests/vgg_twin.py) so the
+# 59 MB of conv weights never land in the golden npz
 # --------------------------------------------------------------------------
 
-def build_torch_vgg16():
-    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-            512, 512, 512, "M", 512, 512, 512, "M"]
-    layers, cin = [], 3
-    for c in plan:
-        if c == "M":
-            layers.append(nn.MaxPool2d(2, 2))
-        else:
-            layers.append(nn.Conv2d(cin, c, 3, padding=1))
-            layers.append(nn.ReLU(inplace=True))
-            cin = c
-    m = nn.Module()
-    m.features = nn.Sequential(*layers)
-    return m
+from vgg_twin import seeded_vgg16  # noqa: E402
 
 
 # --------------------------------------------------------------------------
@@ -293,16 +281,7 @@ def main():
     openai_sd = _to_openai_sd(jax_clip, TINY_CLIP)
     tclip = build_torch_clip(TINY_CLIP, openai_sd)
 
-    tvgg = build_torch_vgg16()
-    torch.manual_seed(1)
-    for m in tvgg.features:
-        if isinstance(m, nn.Conv2d):
-            nn.init.normal_(m.weight, std=0.05)
-            nn.init.normal_(m.bias, std=0.05)
-    vgg_sd = {f"features.{i}.{p}": t.detach().numpy()
-              for i, m in enumerate(tvgg.features)
-              if isinstance(m, nn.Conv2d)
-              for p, t in [("weight", m.weight), ("bias", m.bias)]}
+    tvgg, vgg_sd = seeded_vgg16()
 
     tok = SimpleTokenizer()  # hash fallback — deterministic, shared
 
@@ -446,8 +425,9 @@ def main():
     out["tgt_text"] = tgt_text
     out["neg_text_1"] = neg_text_1
     out["neg_texts_8"] = np.asarray(neg_texts_8)
-    for k, v in vgg_sd.items():
-        out[f"vgg.{k}"] = v
+    # VGG weights are NOT stored: tests rebuild them from the shared
+    # seeded builder (tests/vgg_twin.seeded_vgg16) — keeps the golden
+    # file ~60 MB smaller per regeneration
     for k, v in openai_sd.items():
         out[f"clip.{k}"] = np.asarray(v)
 

@@ -176,8 +176,14 @@ def crit_setup(crit_golden):
     g = crit_golden
     clip_sd = {k[len("clip."):]: v for k, v in g.items()
                if k.startswith("clip.")}
-    vgg_sd = {k[len("vgg."):]: v for k, v in g.items()
-              if k.startswith("vgg.")}
+    if any(k.startswith("vgg.") for k in g):
+        # legacy golden file with the weights embedded
+        vgg_sd = {k[len("vgg."):]: v for k, v in g.items()
+                  if k.startswith("vgg.")}
+    else:
+        # rebuilt from the shared seeded torch twin (tests/vgg_twin.py)
+        from tests.vgg_twin import seeded_vgg16
+        _, vgg_sd = seeded_vgg16()
     clip_params = cm.params_from_openai_state_dict(clip_sd, TINY_CLIP)
     vgg_params = vgg_mod.params_from_torchvision_state_dict(vgg_sd)
     tok = SimpleTokenizer()

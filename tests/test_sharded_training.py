@@ -118,10 +118,13 @@ def test_shard_map_render_matches_and_pads():
 
 
 def test_auto_mesh_divisibility():
-    """auto_mesh trims to a divisor device count; returns None when <2."""
+    """auto_mesh trims to the LARGEST divisor device count (ADVICE r2:
+    plain halving skipped valid divisors); returns None when <2."""
     m = auto_mesh(n_rays=64)
     assert m is not None and m.devices.size == 8
-    m = auto_mesh(n_rays=60)  # 60 % 8 != 0, 60 % 4 == 0
-    assert m is not None and m.devices.size == 4
-    m = auto_mesh(n_rays=7)   # no even split at all
+    m = auto_mesh(n_rays=60)  # 60 % 8 != 0; largest divisor <= 8 is 6
+    assert m is not None and m.devices.size == 6
+    m = auto_mesh(n_rays=7)   # 7 rays split 1-per-chip over 7 devices
+    assert m is not None and m.devices.size == 7
+    m = auto_mesh(n_rays=13)  # prime > n_devices: no even split at all
     assert m is None
