@@ -130,6 +130,31 @@ def main():
 
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
 
+    # Self-enforced deadline: the parent used to SIGKILL a child that
+    # overran its slot, and a SIGKILL mid-device-work wedges the tunneled
+    # PJRT server (observed twice; ~35 min recovery). Instead the child
+    # alarms itself a little before the parent's backstop, emits whatever
+    # partial measurement exists, and exits through normal teardown.
+    child_deadline = float(os.environ.get("BENCH_CHILD_DEADLINE_SEC", 0) or 0)
+    t_start = time.monotonic()
+    partial = {"frames": 0, "rays_per_sec": 0.0}
+
+    class _Expired(Exception):
+        pass
+
+    def _on_deadline(signum, frame):
+        raise _Expired()
+
+    if child_deadline:
+        signal.signal(signal.SIGALRM, _on_deadline)
+        signal.signal(signal.SIGTERM, _on_deadline)
+        signal.alarm(max(int(child_deadline - 10), 30))
+
+    def _remaining():
+        if not child_deadline:
+            return float("inf")
+        return (t_start + child_deadline - 10) - time.monotonic()
+
     def run_scenario(beta_init, epsilon=0.1, max_upsample_steps=None):
         mcfg, params = make_model(beta_init)
         rcfg = make_rcfg(epsilon)
@@ -139,27 +164,47 @@ def main():
         rgb, _, _ = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
         sync(rgb)  # warmup/compile
         t0 = time.perf_counter()
-        for _ in range(n_iters):
+        for i in range(n_iters):
             rgb, _, _ = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
             sync(rgb)
-        return H * W / ((time.perf_counter() - t0) / n_iters)
+            elapsed = time.perf_counter() - t0
+            partial["frames"] = i + 1
+            partial["rays_per_sec"] = H * W / (elapsed / (i + 1))
+            # stop early if another frame won't fit before the deadline
+            if _remaining() < 1.3 * (elapsed / (i + 1)):
+                break
+        return partial["rays_per_sec"]
 
     scenario = os.environ.get("BENCH_SCENARIO", "converged")
-    if scenario == "dense":
-        # TPU-native fast path: dense 512-sample init + opacity-CDF
-        # importance, NO iterative error-bound refinement — the dense init
-        # already resolves the opacity profile and the MXU eats dense
-        # evals, while the refinement loop is VPU-bound.
-        rps = run_scenario(beta_init=0.1, max_upsample_steps=0)
-    elif scenario == "stress":
-        # epsilon so tight no ray ever converges — every ray pays the full
-        # 6-iteration error-bounded pipeline (sampler upper bound)
-        rps = run_scenario(beta_init=0.1, epsilon=1e-4)
-    else:
-        # the reference's exact sampling budget on the trained scene
-        # (measured: ~2 upsample iterations resolve the error bound)
-        rps = run_scenario(beta_init=0.1)
-    print(json.dumps({"scenario": scenario, "rays_per_sec": round(rps, 1)}))
+    try:
+        if scenario == "dense":
+            # TPU-native fast path: dense 512-sample init + opacity-CDF
+            # importance, NO iterative error-bound refinement — the dense
+            # init already resolves the opacity profile and the MXU eats
+            # dense evals, while the refinement loop is VPU-bound.
+            rps = run_scenario(beta_init=0.1, max_upsample_steps=0)
+        elif scenario == "stress":
+            # epsilon so tight no ray ever converges — every ray pays the
+            # full 6-iteration error-bounded pipeline (sampler upper bound)
+            rps = run_scenario(beta_init=0.1, epsilon=1e-4)
+        else:
+            # the reference's exact sampling budget on the trained scene
+            # (measured: ~2 upsample iterations resolve the error bound)
+            rps = run_scenario(beta_init=0.1)
+    except _Expired:
+        if partial["frames"] < 1:
+            # deadline hit during compile/warmup: no measurement, but exit
+            # cleanly so the PJRT client tears down without wedging the
+            # server (the parent distinguishes this via the error field)
+            print(json.dumps({"scenario": scenario,
+                              "error": "child_deadline_before_first_frame"}))
+            sys.stdout.flush()
+            return
+        rps = partial["rays_per_sec"]
+    out = {"scenario": scenario, "rays_per_sec": round(rps, 1),
+           "frames": partial["frames"]}
+    print(json.dumps(out))
+    sys.stdout.flush()
 
 
 _PROBE = ("import jax, numpy as np; x = jax.numpy.ones((8, 8));"
@@ -223,21 +268,42 @@ def _probe_backend(timeout_sec=60):
 
 
 def _run_child(scenario, timeout_sec):
+    """Run one scenario in a child that enforces its own deadline (clean
+    PJRT teardown + partial-result emission). The parent only escalates
+    SIGTERM -> SIGKILL as a backstop well after the child's self-alarm:
+    a SIGKILL mid-device-work is what wedged the tunneled TPU server in
+    rounds 1-3 (~35 min recovery)."""
     import subprocess
-    env = dict(os.environ, BENCH_INNER="1", BENCH_SCENARIO=scenario)
+    env = dict(os.environ, BENCH_INNER="1", BENCH_SCENARIO=scenario,
+               BENCH_CHILD_DEADLINE_SEC=str(int(timeout_sec)))
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
     try:
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             timeout=timeout_sec)
+        stdout, err = proc.communicate(timeout=timeout_sec + 20)
     except subprocess.TimeoutExpired:
-        return None, f"timeout_after_{int(timeout_sec)}s"
-    for line in (out.stdout or "").splitlines():
+        proc.terminate()
+        try:
+            stdout, err = proc.communicate(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            stdout, err = proc.communicate()
+    result_err = ""
+    for line in (stdout or "").splitlines():
         if line.startswith("{"):
             try:
-                return json.loads(line)["rays_per_sec"], ""
-            except (ValueError, KeyError):
-                pass
-    err = out.stderr or ""
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if "rays_per_sec" in obj:
+                return obj["rays_per_sec"], ""
+            result_err = obj.get("error", "")
+    if result_err:
+        return None, result_err
+    if proc.returncode != 0 and proc.returncode is not None \
+            and proc.returncode < 0:
+        return None, f"timeout_after_{int(timeout_sec)}s"
+    err = err or ""
     sys.stderr.write(err[-2000:])
     if "Unable to initialize backend" in err:
         return None, "backend_init_failure_mid_bench"
@@ -297,8 +363,10 @@ def _guarded():
 
     # 3) reference-exact budget (best-effort appendix)
     if g.remaining() > 90:
+        # 540 s cap: a COLD compile of the 6-iteration sampler program is
+        # ~400 s over the tunnel; 420 s wasn't enough for compile + frames
         refb_rps, refb_err = _run_child(
-            "converged", min(max(g.remaining() - 45, 60), 420))
+            "converged", min(max(g.remaining() - 45, 60), 540))
         if refb_rps is not None:
             g.result["reference_budget_rays_per_sec"] = round(refb_rps, 1)
             g.result["reference_budget_vs_baseline"] = round(

@@ -91,6 +91,12 @@ class NeuSRenderCfg:
     rays_chunk: Optional[int] = None
     sampler_dtype: str = "float32"
     sampler_backend: str = "xla"   # 'xla' | 'pallas' (fused VMEM MLP)
+    # rematerialize each ray block in the backward pass (jax.checkpoint):
+    # residuals live only for the block being differentiated, so training
+    # memory scales with rays_chunk instead of the full batch. TPU-native
+    # replacement for the reference's memory-driven chunk-size tuning
+    # ("for 3090Ti", neus.py:523).
+    remat: bool = False
 
 
 def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -269,9 +275,13 @@ def volume_render(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     M = rays_o.shape[0]
 
+    block_fn = _render_block
+    if rcfg.remat:
+        block_fn = jax.checkpoint(_render_block, static_argnums=(4, 5))
+
     chunk = rcfg.rays_chunk
     if chunk is None or M <= chunk:
-        ret = _render_block(params, rays_o, rays_d, key, mcfg, rcfg)
+        ret = block_fn(params, rays_o, rays_d, key, mcfg, rcfg)
     else:
         n_blocks = -(-M // chunk)
         pad = n_blocks * chunk - M
@@ -281,8 +291,8 @@ def volume_render(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         rd = rd.reshape(n_blocks, chunk, 3)
         keys = jax.random.split(key, n_blocks)
         ret = jax.lax.map(
-            lambda args: _render_block(params, args[0], args[1], args[2],
-                                       mcfg, rcfg),
+            lambda args: block_fn(params, args[0], args[1], args[2],
+                                  mcfg, rcfg),
             (ro, rd, keys))
         ret = jax.tree_util.tree_map(
             lambda x: x.reshape(n_blocks * chunk, *x.shape[2:])[:M], ret)

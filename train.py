@@ -115,8 +115,11 @@ def main_function(args):
     opt_state = optimizer.init(params)
 
     # checkpoints
+    # finetune always drops optimizer/step (reference train.py:118-119);
+    # recon runs may request the same via training.ckpt_ignore_keys (e.g.
+    # the low-lr schedule-extension configs).
     ignore_keys = ["optimizer", "global_step", "epoch_idx"] if is_finetune \
-        else []
+        else list(args["training"].get("ckpt_ignore_keys", None) or [])
     checkpoint_io = CheckpointIO(os.path.join(exp_dir, "ckpts"))
     ckpt_file = args["finetune"]["pretrain_weight"] if is_finetune \
         else args["training"].get("ckpt_file", None)
@@ -219,8 +222,18 @@ def main_function(args):
                 w_mask=float(args["training"].get("w_mask", 0.0)),
                 obj_bounding_radius=float(
                     args["model"]["obj_bounding_radius"]))
+        train_overrides = {}
+        # scan-over-remat: chunk the ray batch inside the jitted step and
+        # rematerialize each block in the backward pass, so training HBM
+        # scales with the block size instead of N_rays (the TPU-native
+        # answer to the reference's memory-tuned chunk sizes).
+        if args["training"].get("rays_chunk"):
+            train_overrides["rays_chunk"] = int(
+                args["training"]["rays_chunk"])
+        if args["training"].get("remat"):
+            train_overrides["remat"] = True
         rcfg = bundle.make_render_cfg(
-            test=False, detailed_output=True,
+            test=False, detailed_output=True, **train_overrides,
             **({"require_nablas": True, "calc_normal": False}
                if bundle.name == "volsdf" else {}))
         step_fn = training.make_train_step(
@@ -405,7 +418,14 @@ def main_function(args):
         checkpoint_io.save("latest.npz", global_step=it,
                            epoch_idx=epoch_idx)
         logger.save_stats("stats.p")
-        sys.exit()
+        # os._exit, not sys.exit: non-daemon helper threads (tensorboard
+        # writer, device transfer callbacks) keep the interpreter alive
+        # after SystemExit, leaving a headless trainer racing the next
+        # launch on the same chip/exp-dir (observed: two trainers
+        # time-sharing the TPU after a ^C "exit").
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
     checkpoint_io.save(f"final_{it:08d}.npz", global_step=it,
                        epoch_idx=epoch_idx)
