@@ -104,7 +104,6 @@ def main():
     # defaults from the round-1 sweep on v5e: chunk ~1080 + bf16 sampler won
     rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 1080))
     sampler_dtype = os.environ.get("BENCH_SAMPLER_DTYPE", "bfloat16")
-    sampler_backend = os.environ.get("BENCH_SAMPLER_BACKEND", "xla")
 
     def make_rcfg(epsilon):
         return V.VolSDFRenderCfg(
@@ -112,8 +111,7 @@ def main():
             N_samples=128, N_importance=64, max_upsample_steps=6,
             max_bisection_steps=10, epsilon=epsilon,
             calc_normal=True, require_nablas=True, detailed_output=False,
-            rays_chunk=rays_chunk, sampler_dtype=sampler_dtype,
-            sampler_backend=sampler_backend)
+            rays_chunk=rays_chunk, sampler_dtype=sampler_dtype)
 
     c2w = jnp.eye(4).at[2, 3].set(-2.5)
     intr = (jnp.eye(4).at[0, 0].set(550.0).at[1, 1].set(550.0)

@@ -111,6 +111,23 @@ class SceneDataset:
     def get_scale_mat(self):
         return np.load(self.cam_file)["scale_mat_0"]
 
+    def get_pose_init(self):
+        """Noisy linear-method pose initializations as [N, 7] quat+trans
+        (reference DTU.py:146-163; defined for pose-refinement experiments,
+        never called by the reference's own training loop)."""
+        cam_file = os.path.join(self.instance_dir, "cameras_linear_init.npz")
+        camera_dict = np.load(cam_file)
+        poses = []
+        for i in range(self.n_images):
+            P = (camera_dict[f"world_mat_{i}"].astype(np.float32)
+                 @ camera_dict[f"scale_mat_{i}"].astype(np.float32))
+            _, pose = load_K_Rt_from_P(P[:3, :4])
+            poses.append(pose)
+        poses = np.stack(poses)
+        from nerfart_tpu.ops.rays import rot_to_quat
+        quat = np.asarray(rot_to_quat(poses[:, :3, :3]))
+        return np.concatenate([quat, poses[:, :3, 3]], axis=1)
+
     def get_gt_pose(self, scaled: bool = True):
         camera_dict = np.load(self.cam_file)
         poses = []

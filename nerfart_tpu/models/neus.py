@@ -90,7 +90,6 @@ class NeuSRenderCfg:
     N_upsample_iters: int = 4
     rays_chunk: Optional[int] = None
     sampler_dtype: str = "float32"
-    sampler_backend: str = "xla"   # 'xla' | 'pallas' (fused VMEM MLP)
     # rematerialize each ray block in the backward pass (jax.checkpoint):
     # residuals live only for the block being differentiated, so training
     # memory scales with rays_chunk instead of the full batch. TPU-native
@@ -117,30 +116,21 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     sampler_dtype = jnp.dtype(rcfg.sampler_dtype)
 
-    if rcfg.sampler_backend == "pallas":
-        from nerfart_tpu.ops.pallas import fused_implicit_surface_fwd
-
-        def sdf_fn(pts):
-            sdf, _ = fused_implicit_surface_fwd(
-                params["implicit_surface"], pts, mcfg.surface,
-                compute=rcfg.sampler_dtype)
-            return sdf.astype(rays_o.dtype)
+    if sampler_dtype != rays_o.dtype:
+        # cast the weights too, or promotion lifts every activation
+        # back to f32 after layer 1 (see models/volsdf.py sdf_fn)
+        surf_s = jax.tree_util.tree_map(
+            lambda a: a.astype(sampler_dtype),
+            params["implicit_surface"])
     else:
-        if sampler_dtype != rays_o.dtype:
-            # cast the weights too, or promotion lifts every activation
-            # back to f32 after layer 1 (see models/volsdf.py sdf_fn)
-            surf_s = jax.tree_util.tree_map(
-                lambda a: a.astype(sampler_dtype),
-                params["implicit_surface"])
-        else:
-            surf_s = params["implicit_surface"]
+        surf_s = params["implicit_surface"]
 
-        def sdf_fn(pts):
-            if sampler_dtype != pts.dtype:
-                pts = pts.astype(sampler_dtype)
-            sdf = nets.implicit_surface_fwd(
-                surf_s, pts, mcfg.surface, return_h=False)
-            return sdf.astype(rays_o.dtype)
+    def sdf_fn(pts):
+        if sampler_dtype != pts.dtype:
+            pts = pts.astype(sampler_dtype)
+        sdf = nets.implicit_surface_fwd(
+            surf_s, pts, mcfg.surface, return_h=False)
+        return sdf.astype(rays_o.dtype)
 
     # ---------- upsampling (neus.py:240-305)
     if rcfg.upsample_algo == "official_solution":

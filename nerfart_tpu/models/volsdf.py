@@ -129,9 +129,6 @@ class VolSDFRenderCfg:
     # dtype for the no-grad sampler MLP queries; bf16 doubles sampler MXU
     # throughput at negligible sample-placement error (opt-in).
     sampler_dtype: str = "float32"
-    # 'xla' or 'pallas': the fused VMEM-resident MLP kernel for the no-grad
-    # sampler queries (ops/pallas/fused_mlp.py)
-    sampler_backend: str = "xla"
     # rematerialize each ray block in the backward pass (jax.checkpoint):
     # residuals live only for the block being differentiated, so training
     # memory scales with rays_chunk instead of the full batch (enables
@@ -165,35 +162,23 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     sampler_dtype = jnp.dtype(rcfg.sampler_dtype)
 
-    if rcfg.sampler_backend == "pallas":
-        from nerfart_tpu.ops.pallas import fused_implicit_surface_fwd
-
-        def sdf_fn(pts):
-            sdf, _ = fused_implicit_surface_fwd(
-                params["implicit_surface"], pts, mcfg.surface,
-                compute=rcfg.sampler_dtype)
-            if mcfg.use_sphere_bg:
-                sdf = jnp.minimum(sdf, mcfg.obj_bounding_radius
-                                  - jnp.linalg.norm(pts, axis=-1))
-            return sdf.astype(rays_o.dtype)
+    if sampler_dtype != rays_o.dtype:
+        # cast the params too: with f32 weights the bf16 input promotes
+        # straight back to f32 after layer 1, leaving the whole sampler
+        # MLP running f32 activations (profiled: the [R, 512, 256]
+        # softplus chains are VPU-bandwidth-bound, so bf16 activations
+        # halve their traffic). XLA hoists the loop-invariant cast out
+        # of the rays_chunk loop.
+        params_s = jax.tree_util.tree_map(
+            lambda a: a.astype(sampler_dtype), params)
     else:
-        if sampler_dtype != rays_o.dtype:
-            # cast the params too: with f32 weights the bf16 input promotes
-            # straight back to f32 after layer 1, leaving the whole sampler
-            # MLP running f32 activations (profiled: the [R, 512, 256]
-            # softplus chains are VPU-bandwidth-bound, so bf16 activations
-            # halve their traffic). XLA hoists the loop-invariant cast out
-            # of the rays_chunk loop.
-            params_s = jax.tree_util.tree_map(
-                lambda a: a.astype(sampler_dtype), params)
-        else:
-            params_s = params
+        params_s = params
 
-        def sdf_fn(pts):
-            if sampler_dtype != pts.dtype:
-                pts = pts.astype(sampler_dtype)
-            sdf, _ = forward_surface(params_s, pts, mcfg)
-            return sdf.astype(rays_o.dtype)
+    def sdf_fn(pts):
+        if sampler_dtype != pts.dtype:
+            pts = pts.astype(sampler_dtype)
+        sdf, _ = forward_surface(params_s, pts, mcfg)
+        return sdf.astype(rays_o.dtype)
 
     d_fine, beta_map, iter_usage = volsdf_math.fine_sample(
         sdf_fn, d_init, rays_o, rays_d,

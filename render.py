@@ -128,22 +128,6 @@ def main_function(args):
                 calc_normal=True, ray_casting_algo=use_surface,
                 near=0.0, far=float(far), rays_chunk=args.rayschunk)
             return color, depth, extras["normals_surface"]
-    elif args.wavefront and bundle.name == "volsdf":
-        # adaptive two-stage rendering: full budget only for rays the
-        # 1-iteration pass left unconverged (models/wavefront.py)
-        from nerfart_tpu.models.wavefront import wavefront_render
-        rcfg = bundle.make_render_cfg(
-            test=True, rays_chunk=args.rayschunk, calc_normal=True,
-            detailed_output=True, require_nablas=True)
-
-        def render_view(c2w):
-            rays_o, rays_d, _ = get_rays(c2w[None], jnp.asarray(intrinsics)[None],
-                                         H, W, N_rays=-1)
-            rgb, depth, extras = wavefront_render(
-                params, rays_o[0], rays_d[0], bundle.mcfg, rcfg,
-                stage1_steps=args.wavefront_stage1)
-            return rgb, depth, extras.get("normals_volume",
-                                          np.zeros_like(rgb))
     else:
         rcfg = bundle.make_render_cfg(
             test=True, rays_chunk=args.rayschunk, calc_normal=True,
@@ -276,10 +260,6 @@ if __name__ == "__main__":
                              "NeuS-style checkpoints; VolSDF 'builtin' "
                              "checkpoints only constrain the SDF inside "
                              "the scene sphere, so hits are sparse")
-    parser.add_argument("--wavefront", action="store_true",
-                        help="VolSDF: adaptive two-stage rendering (full "
-                             "sampler budget only for unconverged rays)")
-    parser.add_argument("--wavefront_stage1", type=int, default=1)
     parser.add_argument("--poses_avg", type=str, default="first",
                         choices=["first", "mean"],
                         help="spiral center pose: reference render.py uses "

@@ -1,7 +1,7 @@
 """Single-chip render-throughput sweep on a (trained) checkpoint.
 
 Measures rays/s of the full-quality VolSDF render across rays_chunk sizes,
-sampler dtypes, and param dtypes, plus the wavefront two-stage path —
+sampler dtypes, and param dtypes —
 the evidence PERF.md's chosen defaults rest on.
 
 Usage (on TPU):
@@ -45,7 +45,6 @@ def main():
     ap.add_argument("--W", type=int, default=270)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--chunks", type=str, default="1080,2160,4320,8640")
-    ap.add_argument("--wavefront", action="store_true")
     args = ap.parse_args()
 
     mcfg = full_mcfg()
@@ -87,7 +86,7 @@ def main():
                 N_samples=128, N_importance=64, max_upsample_steps=6,
                 max_bisection_steps=10, epsilon=0.1, calc_normal=True,
                 require_nablas=True, detailed_output=False,
-                rays_chunk=chunk, sampler_dtype=sdt, sampler_backend="xla")
+                rays_chunk=chunk, sampler_dtype=sdt)
             key = f"chunk{chunk}_{sdt}"
             try:
                 results[key] = round(timed(lambda: render(
@@ -95,22 +94,6 @@ def main():
             except Exception as e:  # noqa: BLE001
                 results[key] = f"ERR {type(e).__name__}"
             print(key, results[key], flush=True)
-
-    if args.wavefront:
-        from nerfart_tpu.models.wavefront import wavefront_render
-        rcfg = V.VolSDFRenderCfg(
-            near=0.0, far=6.0, obj_bounding_radius=3.0,
-            N_samples=128, N_importance=64, max_upsample_steps=6,
-            max_bisection_steps=10, epsilon=0.1, calc_normal=True,
-            require_nablas=True, detailed_output=False,
-            rays_chunk=1080, sampler_dtype="bfloat16", perturb=False)
-        ro, rd = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
-        try:
-            results["wavefront"] = round(timed(
-                lambda: wavefront_render(params, ro, rd, mcfg, rcfg)), 1)
-        except Exception as e:  # noqa: BLE001
-            results["wavefront"] = f"ERR {type(e).__name__}"
-        print("wavefront", results["wavefront"], flush=True)
 
     print(json.dumps(results))
 
