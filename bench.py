@@ -79,11 +79,16 @@ def main():
                                          W_geo_feat=256, embed_multires=-1,
                                          embed_multires_view=-1,
                                          use_view_dirs=True))
-        # default to the shipped full-size trained checkpoint so the
+        # default to the newest shipped full-size trained checkpoint so the
         # driver's plain `python bench.py` measures the reference's
         # trained-scene protocol on real weights
-        default_ckpt = os.path.join(_REPO, "pretrained",
-                                    "volsdf_fangzhou_r2.npz")
+        default_ckpt = ""
+        for name in ("volsdf_fangzhou_r4.npz", "volsdf_fangzhou_r3.npz",
+                     "volsdf_fangzhou_r2.npz"):
+            cand = os.path.join(_REPO, "pretrained", name)
+            if os.path.exists(cand):
+                default_ckpt = cand
+                break
         ckpt = os.environ.get("BENCH_CKPT", default_ckpt)
         if ckpt and os.path.exists(ckpt):
             from nerfart_tpu.utils.checkpoints import CheckpointIO
@@ -95,7 +100,10 @@ def main():
 
     # the reference's headline render is --H 480 --W 270 (README.md:60-65)
     H, W = 480, 270
-    if os.environ.get("BENCH_SCENARIO") == "stress":
+    if os.environ.get("BENCH_HW"):
+        # debug/CI knob: tiny frames make the scenarios drivable on CPU
+        H, W = (int(v) for v in os.environ["BENCH_HW"].split("x"))
+    elif os.environ.get("BENCH_SCENARIO") == "stress":
         # smaller frame for the all-rays-unconverged stress: at ~1k rays/s
         # a full 480x270 frame is a single >2-minute XLA program execution,
         # which the tunneled backend's watchdog kills ("TPU device error");
@@ -153,12 +161,15 @@ def main():
             return float("inf")
         return (t_start + child_deadline - 10) - time.monotonic()
 
+    last = {}  # params/rcfg of the measured program, for FLOPs accounting
+
     def run_scenario(beta_init, epsilon=0.1, max_upsample_steps=None):
         mcfg, params = make_model(beta_init)
         rcfg = make_rcfg(epsilon)
         if max_upsample_steps is not None:
             import dataclasses as _dc
             rcfg = _dc.replace(rcfg, max_upsample_steps=max_upsample_steps)
+        last.update(params=params, rcfg=rcfg)
         rgb, _, _ = render(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
         sync(rgb)  # warmup/compile
         t0 = time.perf_counter()
@@ -173,7 +184,106 @@ def main():
                 break
         return partial["rays_per_sec"]
 
+    def run_neus():
+        """NeuS novel-view rays/s on the shipped full-size NeuS checkpoint
+        (configs/neus_fangzhou.yaml semantics: official_solution upsampler,
+        64+64 samples)."""
+        from nerfart_tpu.models import neus as NS
+        mcfg = NS.NeuSCfg(
+            speed_factor=10.0, variance_init=0.05, obj_bounding_radius=1.0,
+            surface=nets.ImplicitSurfaceCfg(W=256, D=8, skips=(4,),
+                                            W_geo_feat=256, embed_multires=6,
+                                            radius_init=0.5,
+                                            obj_bounding_size=1.0),
+            radiance=nets.RadianceNetCfg(D=4, W=256, skips=(),
+                                         W_geo_feat=256, embed_multires=-1,
+                                         embed_multires_view=4,
+                                         use_view_dirs=True))
+        ckpt = ""
+        for name in ("neus_fangzhou_r4.npz", "neus_fangzhou_r3.npz"):
+            cand = os.path.join(_REPO, "pretrained", name)
+            if os.path.exists(cand):
+                ckpt = cand
+                break
+        if ckpt:
+            from nerfart_tpu.utils.checkpoints import CheckpointIO
+            blob = CheckpointIO(os.path.dirname(ckpt),
+                                allow_mkdir=False).load_file(
+                                    ckpt, framework="neus")
+            params = jax.tree_util.tree_map(jnp.asarray, blob["model"])
+        else:
+            params = NS.init_neus(jax.random.PRNGKey(42), mcfg)
+        rcfg = NS.NeuSRenderCfg(
+            obj_bounding_radius=1.0, N_samples=64, N_importance=64,
+            upsample_algo="official_solution", N_upsample_iters=4,
+            N_outside=0, perturb=False, calc_normal=True,
+            rays_chunk=rays_chunk, sampler_dtype=sampler_dtype)
+        last.update(params=params, rcfg=rcfg)
+        nrender = jax.jit(NS.volume_render,
+                          static_argnames=("mcfg", "rcfg"))
+        rgb, _, _ = nrender(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
+        sync(rgb)
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            rgb, _, _ = nrender(params, rays_o, rays_d, mcfg=mcfg, rcfg=rcfg)
+            sync(rgb)
+            elapsed = time.perf_counter() - t0
+            partial["frames"] = i + 1
+            partial["rays_per_sec"] = H * W / (elapsed / (i + 1))
+            if _remaining() < 1.3 * (elapsed / (i + 1)):
+                break
+        return partial["rays_per_sec"]
+
+    def run_train():
+        """VolSDF training-step wall time (s/it) at the reference protocol
+        (configs/volsdf_fangzhou_nature.yaml: N_rays 2048, full sampler
+        budget, eikonal loss) on synthetic rays — measures the jitted
+        step program, not the host data pipeline."""
+        import optax
+        from nerfart_tpu import training
+        mcfg, params = make_model(0.1)
+        rcfg = V.VolSDFRenderCfg(
+            near=0.0, far=6.0, obj_bounding_radius=3.0,
+            N_samples=128, N_importance=64, max_upsample_steps=6,
+            max_bisection_steps=10, epsilon=0.1, perturb=True,
+            require_nablas=True, calc_normal=False, detailed_output=True,
+            sampler_dtype=sampler_dtype)
+        n_rays = int(os.environ.get("BENCH_TRAIN_NRAYS", 2048))
+        tcfg = training.TrainCfg(H=540, W=960, N_rays=n_rays,
+                                 w_eikonal=0.1, obj_bounding_radius=3.0)
+        optimizer = optax.adam(5e-4)
+        opt_state = optimizer.init(params)
+        step = training.make_train_step("volsdf", mcfg, rcfg, tcfg,
+                                        optimizer)
+        key = jax.random.PRNGKey(0)
+        kb, key = jax.random.split(key)
+        batch = {
+            "c2w": jnp.eye(4).at[2, 3].set(-2.5)[None],
+            "intrinsics": (jnp.eye(4).at[0, 0].set(550.0)
+                           .at[1, 1].set(550.0).at[0, 2].set(480.0)
+                           .at[1, 2].set(270.0))[None],
+            "rgb": jax.random.uniform(kb, (1, 540 * 960, 3)),
+        }
+        params, opt_state, losses, _, _ = step(params, opt_state, batch,
+                                               key, 0)
+        sync(losses["total"])  # warmup/compile
+        t0 = time.perf_counter()
+        n_steps = max(n_iters, 8)
+        for i in range(n_steps):
+            key, ks = jax.random.split(key)
+            params, opt_state, losses, _, _ = step(params, opt_state,
+                                                   batch, ks, i)
+            sync(losses["total"])
+            elapsed = time.perf_counter() - t0
+            partial["frames"] = i + 1
+            partial["sec_per_iter"] = elapsed / (i + 1)
+            if _remaining() < 1.3 * (elapsed / (i + 1)):
+                break
+        return partial["sec_per_iter"]
+
     scenario = os.environ.get("BENCH_SCENARIO", "converged")
+    from nerfart_tpu.ops import flops as F
+    executed_iters = None
     try:
         if scenario == "dense":
             # TPU-native fast path: dense 512-sample init + opacity-CDF
@@ -181,10 +291,22 @@ def main():
             # init already resolves the opacity profile and the MXU eats
             # dense evals, while the refinement loop is VPU-bound.
             rps = run_scenario(beta_init=0.1, max_upsample_steps=0)
+            executed_iters = 0
         elif scenario == "stress":
             # epsilon so tight no ray ever converges — every ray pays the
             # full 6-iteration error-bounded pipeline (sampler upper bound)
             rps = run_scenario(beta_init=0.1, epsilon=1e-4)
+            executed_iters = 6
+        elif scenario == "neus":
+            rps = run_neus()
+        elif scenario == "train":
+            spi = run_train()
+            out = {"scenario": scenario,
+                   "sec_per_iter": round(spi, 3),
+                   "frames": partial["frames"]}
+            print(json.dumps(out))
+            sys.stdout.flush()
+            return
         else:
             # the reference's exact sampling budget on the trained scene
             # (measured: ~2 upsample iterations resolve the error bound)
@@ -198,9 +320,30 @@ def main():
                               "error": "child_deadline_before_first_frame"}))
             sys.stdout.flush()
             return
+        if scenario == "train":
+            out = {"scenario": scenario,
+                   "sec_per_iter": round(partial["sec_per_iter"], 3),
+                   "frames": partial["frames"]}
+            print(json.dumps(out))
+            sys.stdout.flush()
+            return
         rps = partial["rays_per_sec"]
     out = {"scenario": scenario, "rays_per_sec": round(rps, 1),
            "frames": partial["frames"]}
+    # MFU accounting (ops/flops.py): exact only where the executed sampler
+    # iteration count is deterministic — dense (0) and stress (all 6); the
+    # converged scenario's count is data-dependent (lax.cond-skipped), so
+    # it gets no mfu field rather than a guessed one.
+    if scenario == "neus":
+        fpr = F.neus_render_flops_per_ray(last["params"], last["rcfg"])
+        out["flops_per_ray"] = round(fpr)
+        out["mfu"] = round(F.mfu(rps, fpr), 4)
+    elif executed_iters is not None:
+        fpr = F.volsdf_render_flops_per_ray(
+            last["params"], last["rcfg"], executed_iters,
+            require_nablas=True)
+        out["flops_per_ray"] = round(fpr)
+        out["mfu"] = round(F.mfu(rps, fpr), 4)
     print(json.dumps(out))
     sys.stdout.flush()
 
@@ -293,8 +436,8 @@ def _run_child(scenario, timeout_sec):
                 obj = json.loads(line)
             except ValueError:
                 continue
-            if "rays_per_sec" in obj:
-                return obj["rays_per_sec"], ""
+            if "rays_per_sec" in obj or "sec_per_iter" in obj:
+                return obj, ""
             result_err = obj.get("error", "")
     if result_err:
         return None, result_err
@@ -338,13 +481,14 @@ def _guarded():
         return
 
     # 2) headline: dense scenario. Emit immediately on success.
-    dense_rps, dense_err = _run_child(
+    dense, dense_err = _run_child(
         "dense", min(max(g.remaining() - 60, 60), 600))
-    if dense_rps is None:
+    if dense is None:
         g.result["error"] = dense_err
         g.emit()
         # a dead headline usually means a wedged device; don't poke it more
         return
+    dense_rps = dense["rays_per_sec"]
     g.result = {
         "metric": "volsdf_render_dense_rays_per_sec",
         "value": round(dense_rps, 1), "unit": "rays/s",
@@ -355,33 +499,66 @@ def _guarded():
                 "budget (QUALITY.md: 29.27 vs 29.25 dB same views). "
                 "reference_budget = the reference's exact 6-iteration "
                 "error-bounded sampler; stress = eps=1e-4 (all rays pay "
-                "all 6 iterations). baseline 6500 rays/s = RTX 3090.",
+                "all 6 iterations). baseline 6500 rays/s = RTX 3090. "
+                "mfu = analytic MLP matmul FLOPs / v5e bf16 peak 394 "
+                "TFLOP/s (ops/flops.py; exact executed-FLOP counts).",
     }
+    if "mfu" in dense:
+        g.result["mfu"] = dense["mfu"]
+        g.result["flops_per_ray"] = dense["flops_per_ray"]
     g.emit()
 
     # 3) reference-exact budget (best-effort appendix)
     if g.remaining() > 90:
         # 540 s cap: a COLD compile of the 6-iteration sampler program is
         # ~400 s over the tunnel; 420 s wasn't enough for compile + frames
-        refb_rps, refb_err = _run_child(
+        refb, refb_err = _run_child(
             "converged", min(max(g.remaining() - 45, 60), 540))
-        if refb_rps is not None:
-            g.result["reference_budget_rays_per_sec"] = round(refb_rps, 1)
+        if refb is not None:
+            g.result["reference_budget_rays_per_sec"] = round(
+                refb["rays_per_sec"], 1)
             g.result["reference_budget_vs_baseline"] = round(
-                refb_rps / _BASELINE, 3)
+                refb["rays_per_sec"] / _BASELINE, 3)
         else:
             g.result["reference_budget_error"] = refb_err
         g.emit()
 
-    # 4) stress (best-effort; riskiest last)
+    # 4) stress (riskiest of the VolSDF render scenarios)
     if g.remaining() > 180 and not os.environ.get("BENCH_SKIP_STRESS"):
-        stress_rps, stress_err = _run_child(
+        stress, stress_err = _run_child(
             "stress", min(max(g.remaining() - 45, 60), 300))
-        if stress_rps is not None:
+        if stress is not None:
             g.result["full_budget_stress_rays_per_sec"] = round(
-                stress_rps, 1)
+                stress["rays_per_sec"], 1)
+            if "mfu" in stress:
+                g.result["stress_mfu"] = stress["mfu"]
         else:
             g.result["stress_error"] = stress_err
+        g.emit()
+
+    # 5) NeuS render throughput (best-effort appendix; r3 self-reported
+    #    31k rays/s — this makes it a driver-visible number)
+    if g.remaining() > 120:
+        neus, neus_err = _run_child(
+            "neus", min(max(g.remaining() - 45, 60), 420))
+        if neus is not None:
+            g.result["neus_render_rays_per_sec"] = round(
+                neus["rays_per_sec"], 1)
+            if "mfu" in neus:
+                g.result["neus_mfu"] = neus["mfu"]
+        else:
+            g.result["neus_error"] = neus_err
+        g.emit()
+
+    # 6) VolSDF train-step wall time (best-effort; the biggest program =
+    #    the riskiest compile, so it goes last)
+    if g.remaining() > 120:
+        tr, tr_err = _run_child(
+            "train", min(max(g.remaining() - 30, 60), 420))
+        if tr is not None:
+            g.result["volsdf_train_sec_per_iter"] = tr["sec_per_iter"]
+        else:
+            g.result["train_error"] = tr_err
         g.emit()
 
 

@@ -30,10 +30,25 @@ def init_distributed():
     """Multi-host init (TPU pods). No-op on a single host.
 
     Replaces the reference's `dist.init_process_group` / SLURM bootstrap
-    (reference utils/dist_util.py:13-70)."""
+    (reference utils/dist_util.py:13-70). Two modes:
+      - TPU pods / managed clusters: COORDINATOR_ADDRESS (or MEGASCALE_*)
+        is set by the launcher and jax auto-detects process id/count.
+      - explicit rendezvous (the reference's manual `--ddp` torchrun path,
+        dist_util.py:42-70): NERFART_NUM_PROCESSES + NERFART_PROCESS_ID
+        name this process against COORDINATOR_ADDRESS (host:port);
+        exercised cross-process by tests/test_multihost.py."""
     import os
-    if ("COORDINATOR_ADDRESS" in os.environ
-            or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ):
+    coord = (os.environ.get("COORDINATOR_ADDRESS")
+             or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if coord is None:
+        return
+    nproc = os.environ.get("NERFART_NUM_PROCESSES")
+    pid = os.environ.get("NERFART_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    else:
         jax.distributed.initialize()
 
 
