@@ -112,6 +112,7 @@ def main():
     # defaults from the round-1 sweep on v5e: chunk ~1080 + bf16 sampler won
     rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 1080))
     sampler_dtype = os.environ.get("BENCH_SAMPLER_DTYPE", "bfloat16")
+    render_dtype = os.environ.get("BENCH_RENDER_DTYPE", "bfloat16")
 
     def make_rcfg(epsilon):
         return V.VolSDFRenderCfg(
@@ -119,7 +120,8 @@ def main():
             N_samples=128, N_importance=64, max_upsample_steps=6,
             max_bisection_steps=10, epsilon=epsilon,
             calc_normal=True, require_nablas=True, detailed_output=False,
-            rays_chunk=rays_chunk, sampler_dtype=sampler_dtype)
+            rays_chunk=rays_chunk, sampler_dtype=sampler_dtype,
+            render_dtype=render_dtype)
 
     c2w = jnp.eye(4).at[2, 3].set(-2.5)
     intr = (jnp.eye(4).at[0, 0].set(550.0).at[1, 1].set(550.0)
@@ -217,7 +219,8 @@ def main():
             obj_bounding_radius=1.0, N_samples=64, N_importance=64,
             upsample_algo="official_solution", N_upsample_iters=4,
             N_outside=0, perturb=False, calc_normal=True,
-            rays_chunk=rays_chunk, sampler_dtype=sampler_dtype)
+            rays_chunk=rays_chunk, sampler_dtype=sampler_dtype,
+            render_dtype=render_dtype)
         last.update(params=params, rcfg=rcfg)
         nrender = jax.jit(NS.volume_render,
                           static_argnames=("mcfg", "rcfg"))

@@ -57,6 +57,7 @@ def get_model(args) -> FrameworkBundle:
             perturb=bool(model.get("perturb", True)),
             white_bkgd=bool(model.get("white_bkgd", False)),
             sampler_dtype=str(model.get("sampler_dtype", "float32")),
+            render_dtype=str(model.get("render_dtype", "float32")),
             rays_chunk=(int(model["rays_chunk"])
                         if model.get("rays_chunk") else None),
         )

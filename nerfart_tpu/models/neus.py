@@ -90,6 +90,9 @@ class NeuSRenderCfg:
     N_upsample_iters: int = 4
     rays_chunk: Optional[int] = None
     sampler_dtype: str = "float32"
+    # dtype for the final SDF/nablas/radiance pass (see models/volsdf.py
+    # VolSDFRenderCfg.render_dtype); the alpha/cdf math stays f32.
+    render_dtype: str = "float32"
     # rematerialize each ray block in the backward pass (jax.checkpoint):
     # residuals live only for the block being differentiated, so training
     # memory scales with rays_chunk instead of the full batch. TPU-native
@@ -167,12 +170,28 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     d_mid = 0.5 * (d_all[..., 1:] + d_all[..., :-1])
     pts_mid = rays_o[..., None, :] + rays_d[..., None, :] * d_mid[..., :, None]
 
+    render_dtype = jnp.dtype(rcfg.render_dtype)
+    if render_dtype != rays_o.dtype:
+        # bf16-resident final pass (see models/volsdf.py _render_block):
+        # cast params once, feed bf16 points, cast outputs back; the
+        # sigmoid-CDF alpha math below stays f32.
+        params_r = jax.tree_util.tree_map(
+            lambda a: a.astype(render_dtype), params)
+        pts_f = pts.astype(render_dtype)
+        pts_mid_f = pts_mid.astype(render_dtype)
+    else:
+        params_r, pts_f, pts_mid_f = params, pts, pts_mid
+
     sdf, nablas, _ = nets.implicit_surface_with_nablas(
-        params["implicit_surface"], pts, mcfg.surface)
+        params_r["implicit_surface"], pts_f, mcfg.surface)
+    sdf = sdf.astype(rays_o.dtype)
+    nablas = nablas.astype(rays_o.dtype)
     cdf, opacity_alpha = neus_math.sdf_to_alpha(sdf, forward_s(params, mcfg))
-    vmid = (jnp.broadcast_to(view_dirs[..., None, :], pts_mid.shape)
+    vmid = (jnp.broadcast_to(view_dirs[..., None, :], pts_mid_f.shape)
+            .astype(render_dtype)
             if rcfg.use_view_dirs else None)
-    radiances = forward_radiance(params, pts_mid, vmid, mcfg)
+    radiances = forward_radiance(params_r, pts_mid_f, vmid,
+                                 mcfg).astype(rays_o.dtype)
 
     # ---------- outside NeRF++ (neus.py:329-368)
     if rcfg.N_outside > 0:

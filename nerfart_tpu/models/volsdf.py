@@ -129,6 +129,13 @@ class VolSDFRenderCfg:
     # dtype for the no-grad sampler MLP queries; bf16 doubles sampler MXU
     # throughput at negligible sample-placement error (opt-in).
     sampler_dtype: str = "float32"
+    # dtype for the FINAL forward pass (SDF + radiance + vjp nablas over the
+    # composited samples). f32 activations make XLA wrap every MXU matmul in
+    # f32<->bf16 relayout copies (profiled at ~20% of the reference-budget
+    # frame, PERF.md round 3); bf16 keeps the whole pass MXU-resident.
+    # Compositing (sigma, transmittance cumsums, rgb integration) stays f32.
+    # Opt-in for eval/bench; training keeps the f32 default.
+    render_dtype: str = "float32"
     # rematerialize each ray block in the backward pass (jax.checkpoint):
     # residuals live only for the block being differentiated, so training
     # memory scales with rays_chunk instead of the full batch (enables
@@ -206,12 +213,28 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     else:
         vexp = None
 
+    render_dtype = jnp.dtype(rcfg.render_dtype)
+    if render_dtype != rays_o.dtype:
+        # bf16-resident final pass: cast params once (hoisted out of the
+        # rays_chunk lax.map by XLA) and feed bf16 points/view-dirs, so the
+        # 12-layer MLP stack and its nablas vjp never relayout to f32.
+        params_r = jax.tree_util.tree_map(
+            lambda a: a.astype(render_dtype), params)
+        pts_f = pts.astype(render_dtype)
+        vexp_f = vexp.astype(render_dtype) if vexp is not None else None
+    else:
+        params_r, pts_f, vexp_f = params, pts, vexp
+
     nablas = None
     if rcfg.require_nablas or rcfg.use_view_dirs:
-        radiances, sdf, nablas = forward(params, pts, vexp, mcfg,
+        radiances, sdf, nablas = forward(params_r, pts_f, vexp_f, mcfg,
                                          return_nablas=True)
+        nablas = nablas.astype(rays_o.dtype)
     else:
-        radiances, sdf = forward(params, pts, None, mcfg, return_nablas=False)
+        radiances, sdf = forward(params_r, pts_f, None, mcfg,
+                                 return_nablas=False)
+    radiances = radiances.astype(rays_o.dtype)
+    sdf = sdf.astype(rays_o.dtype)
 
     sigma = volsdf_math.sdf_to_sigma(sdf, alpha, beta)
 
@@ -331,6 +354,7 @@ def render_kwargs_from_config(args) -> Dict[str, Any]:
         obj_bounding_radius=float(args["model"]["obj_bounding_radius"]),
         # TPU perf knobs, settable from YAML / `--model:key v` overrides
         sampler_dtype=str(args["model"].get("sampler_dtype", "float32")),
+        render_dtype=str(args["model"].get("render_dtype", "float32")),
         rays_chunk=(int(args["model"]["rays_chunk"])
                     if args["model"].get("rays_chunk") else None),
     )

@@ -18,12 +18,34 @@ the full pipeline (uniform work = TPU-friendly); each unrolled iteration is
 additionally wrapped in `lax.cond` on "any ray still active" so fully
 converged batches skip the remaining MLP queries at runtime.
 """
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from nerfart_tpu.ops.sampling import sample_cdf, sample_pdf
+
+# The beta bisection evaluates ~11 cumsum chains per upsample iteration
+# ([R, N] with N up to ~1300). XLA lowers jnp.cumsum on TPU as a log2(N)-pass
+# shifted-add network — ~10 full passes of HBM traffic per chain, which
+# dominates the all-rays-unconverged (stress) frame. NERFART_BISECT_CUMSUM=
+# "matmul" computes those chains as ONE pass: x @ triu(ones) on the MXU
+# (default precision; the results only feed max-reduced bound checks and
+# sample_pdf *weights*, both tolerant of bf16-pass rounding). The
+# convergence-check chain that feeds the opacity CDF stays exact cumsum
+# (its monotonicity is load-bearing for the CDF inversion).
+_BISECT_CUMSUM_MATMUL = (
+    os.environ.get("NERFART_BISECT_CUMSUM", "").lower() == "matmul")
+
+
+def _cumsum_matmul(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    assert axis == -1
+    n = x.shape[-1]
+    return x @ jnp.triu(jnp.ones((n, n), x.dtype))
+
+
+_fast_cumsum = _cumsum_matmul if _BISECT_CUMSUM_MATMUL else jnp.cumsum
 
 
 def sdf_to_sigma(sdf: jnp.ndarray, alpha, beta) -> jnp.ndarray:
@@ -47,21 +69,21 @@ def _bound_pre(d_vals: jnp.ndarray, sdf: jnp.ndarray):
     return delta_i, sdf_abs, d_i_star
 
 
-def _sigma_Rt(sdf, sdf_abs, delta_i, alpha, beta):
+def _sigma_Rt(sdf, sdf_abs, delta_i, alpha, beta, cumsum=jnp.cumsum):
     """Laplace density + shifted transmittance exponent R(t_k) for one
     (alpha, beta); the only beta-dependent cumsum chain."""
     e = 0.5 * jnp.exp(-sdf_abs / beta)
     sigma = alpha * jnp.where(sdf >= 0, e, 1 - e)
     R_t = jnp.concatenate(
-        [jnp.zeros_like(sdf[..., :1]), jnp.cumsum(sigma[..., :-1] * delta_i, axis=-1)],
+        [jnp.zeros_like(sdf[..., :1]), cumsum(sigma[..., :-1] * delta_i, axis=-1)],
         axis=-1,
     )[..., :-1]
     return sigma, R_t
 
 
-def _bounds_from(delta_i, d_i_star, R_t, alpha, beta):
+def _bounds_from(delta_i, d_i_star, R_t, alpha, beta, cumsum=jnp.cumsum):
     errors = alpha / (4 * beta) * (delta_i ** 2) * jnp.exp(-d_i_star / beta)
-    errors_t = jnp.cumsum(errors, axis=-1)
+    errors_t = cumsum(errors, axis=-1)
     bounds = jnp.exp(-R_t) * (jnp.exp(errors_t) - 1.0)
     return jnp.where(jnp.isnan(bounds), jnp.inf, bounds)
 
@@ -165,9 +187,12 @@ def fine_sample(
     final_fine = jnp.where(converged[..., None], final_fine, 0.0)
     iter_usage = jnp.where(converged, 0.0, -1.0)
 
-    # first error bound with beta+ (volsdf.py:168)
-    _, R_t_plus = _sigma_Rt(sdf, pre[1], pre[0], alpha, beta)
-    bounds = _bounds_from(pre[0], pre[2], R_t_plus, alpha, beta)
+    # first error bound with beta+ (volsdf.py:168); feeds sample_pdf
+    # weights only, so the one-pass matmul cumsum is admissible
+    _, R_t_plus = _sigma_Rt(sdf, pre[1], pre[0], alpha, beta,
+                            cumsum=_fast_cumsum)
+    bounds = _bounds_from(pre[0], pre[2], R_t_plus, alpha, beta,
+                          cumsum=_fast_cumsum)
 
     for it in range(1, max_iter + 1):
         active = ~converged
@@ -217,17 +242,21 @@ def fine_sample(
             for _ in range(max_bisection):
                 beta_tmp = 0.5 * (beta_left + beta_right)
                 _, R_t_tmp = _sigma_Rt(sdf, pre[1], pre[0],
-                                       1.0 / beta_tmp, beta_tmp)
+                                       1.0 / beta_tmp, beta_tmp,
+                                       cumsum=_fast_cumsum)
                 btm = _bounds_from(pre[0], pre[2], R_t_tmp,
-                                   1.0 / beta_tmp, beta_tmp).max(
+                                   1.0 / beta_tmp, beta_tmp,
+                                   cumsum=_fast_cumsum).max(
                     axis=-1, keepdims=True)
                 beta_right = jnp.where(btm <= eps, beta_tmp, beta_right)
                 beta_left = jnp.where(btm > eps, beta_tmp, beta_left)
             beta = jnp.where(still[..., None], beta_right, beta)
 
-            _, R_t_plus = _sigma_Rt(sdf, pre[1], pre[0], 1.0 / beta, beta)
+            _, R_t_plus = _sigma_Rt(sdf, pre[1], pre[0], 1.0 / beta, beta,
+                                    cumsum=_fast_cumsum)
             bounds = jnp.clip(
-                _bounds_from(pre[0], pre[2], R_t_plus, 1.0 / beta, beta),
+                _bounds_from(pre[0], pre[2], R_t_plus, 1.0 / beta, beta,
+                             cumsum=_fast_cumsum),
                 0, 1e5)
             return (d_vals, sdf, bounds, beta, converged, final_fine,
                     iter_usage)
