@@ -109,8 +109,11 @@ def main():
         # which the tunneled backend's watchdog kills ("TPU device error");
         # rays/s is size-independent at >=30 chunks.
         H, W = 135, 240
-    # defaults from the round-1 sweep on v5e: chunk ~1080 + bf16 sampler won
-    rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", 1080))
+    # chunk defaults: 1080 won the round-1 f32 sweep; at bf16 the activation
+    # footprint halves and the round-4 sweep moved the dense optimum to 4320
+    # (28.9k vs 23.1k rays/s, PERF.md round 4). ref/stress stay at 1080.
+    default_chunk = 4320 if os.environ.get("BENCH_SCENARIO") == "dense" else 1080
+    rays_chunk = int(os.environ.get("BENCH_RAYS_CHUNK", default_chunk))
     sampler_dtype = os.environ.get("BENCH_SAMPLER_DTYPE", "bfloat16")
     render_dtype = os.environ.get("BENCH_RENDER_DTYPE", "bfloat16")
 
