@@ -423,6 +423,11 @@ def _run_child(scenario, timeout_sec):
     import subprocess
     env = dict(os.environ, BENCH_INNER="1", BENCH_SCENARIO=scenario,
                BENCH_CHILD_DEADLINE_SEC=str(int(timeout_sec)))
+    # MXU one-pass matmul cumsum for the beta bisection: +11% ref budget /
+    # +24% stress (PERF.md round 4), PSNR-gated at +0.01 dB on the shipped
+    # r4 checkpoint's full-budget eval (QUALITY.md). Read at module import
+    # by ops/volsdf_math.py, so it must be set in the child's env here.
+    env.setdefault("NERFART_BISECT_CUMSUM", "matmul")
     proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                             env=env, stdout=subprocess.PIPE,
                             stderr=subprocess.PIPE, text=True)
@@ -502,7 +507,8 @@ def _guarded():
         "note": "dense = TPU-native sampling (512-pt init + opacity-CDF "
                 "importance, no refinement loop) on the shipped trained "
                 "checkpoint, PSNR-parity-verified vs the full reference "
-                "budget (QUALITY.md: 29.27 vs 29.25 dB same views). "
+                "budget on two scenes (QUALITY.md: fangzhou 30.07 vs "
+                "30.08 dB, girl 25.93 vs 25.94 dB, same views). "
                 "reference_budget = the reference's exact 6-iteration "
                 "error-bounded sampler; stress = eps=1e-4 (all rays pay "
                 "all 6 iterations). baseline 6500 rays/s = RTX 3090. "
