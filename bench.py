@@ -2,14 +2,15 @@
 
 Protocol matches the reference's only published number (reference
 README.md:65: 90 views at 480x270 in ~30 min on an RTX 3090 = ~6.5k
-rays/s end-to-end, BASELINE.md), measured on the shipped full-size
-trained checkpoint (pretrained/volsdf_fangzhou_r2.npz).
+rays/s end-to-end, BASELINE.md), measured on the newest shipped
+full-size trained checkpoint (pretrained/volsdf_fangzhou_r4.npz).
 
 Three scenarios, each a bounded child process:
   dense   — headline. TPU-native dense sampling (512-pt init +
             opacity-CDF importance, no iterative refinement). Verified
             PSNR-identical to the full reference budget on the same
-            checkpoint/views (QUALITY.md: 29.27 vs 29.25 dB).
+            checkpoint/views on two scenes (QUALITY.md: fangzhou
+            30.07 vs 30.08 dB, girl 25.93 vs 25.94 dB).
   converged — the reference's EXACT 6-iteration error-bounded sampler
             (volsdf_fangzhou_nature budget: 128 coarse + 512 dense init
             + <=6x512 upsample + 64 importance, eps=0.1, <=10 bisections)
