@@ -9,8 +9,9 @@ Three scenarios, each a bounded child process:
   dense   — headline. TPU-native dense sampling (512-pt init +
             opacity-CDF importance, no iterative refinement). Verified
             PSNR-identical to the full reference budget on the same
-            checkpoint/views on two scenes (QUALITY.md: fangzhou
-            30.07 vs 30.08 dB, girl 25.93 vs 25.94 dB).
+            checkpoint/views on two scenes (QUALITY.md, matched
+            checkpoints: fangzhou it=12000 30.07 dense vs 30.09 full,
+            girl 25.93 vs 25.94 dB).
   converged — the reference's EXACT 6-iteration error-bounded sampler
             (volsdf_fangzhou_nature budget: 128 coarse + 512 dense init
             + <=6x512 upsample + 64 importance, eps=0.1, <=10 bisections)
@@ -23,7 +24,9 @@ complete result and the LAST line is the most complete (the driver
 parses the last JSON line of the tail). The headline line is printed
 and flushed the MOMENT the dense scenario completes, so a driver
 timeout or a later TPU fault can never erase it. The whole run is
-bounded by one wall-clock budget (BENCH_WALL_BUDGET_SEC, default 780 s);
+bounded by one wall-clock budget (BENCH_WALL_BUDGET_SEC, default 1140 s —
+results emit INCREMENTALLY, so an external kill at any point still leaves
+the latest complete JSON line in the tail);
 on SIGTERM/SIGALRM the best result so far is emitted before exit.
 Fields: metric=volsdf_render_dense_rays_per_sec, value, unit,
 vs_baseline (dense/6500), reference_budget_rays_per_sec,
@@ -469,7 +472,7 @@ def _guarded():
     it lands), then the reference-budget number, then the stress case
     (observed in round 2 to occasionally fault the tunneled TPU — by
     running it last, a fault can no longer cost any earlier number)."""
-    g = _Guard(float(os.environ.get("BENCH_WALL_BUDGET_SEC", 780)))
+    g = _Guard(float(os.environ.get("BENCH_WALL_BUDGET_SEC", 1140)))
 
     # 1) backend health probe: single 60 s attempts with short backoff,
     #    bounded by the global budget (round-2's unbounded ~25 min of
@@ -508,8 +511,9 @@ def _guarded():
         "note": "dense = TPU-native sampling (512-pt init + opacity-CDF "
                 "importance, no refinement loop) on the shipped trained "
                 "checkpoint, PSNR-parity-verified vs the full reference "
-                "budget on two scenes (QUALITY.md: fangzhou 30.07 vs "
-                "30.08 dB, girl 25.93 vs 25.94 dB, same views). "
+                "budget on two scenes (QUALITY.md, matched ckpts: fangzhou "
+                "it=12000 30.07 dense vs 30.09 full, girl 25.93 vs "
+                "25.94 dB, same views). "
                 "reference_budget = the reference's exact 6-iteration "
                 "error-bounded sampler; stress = eps=1e-4 (all rays pay "
                 "all 6 iterations). baseline 6500 rays/s = RTX 3090. "
@@ -521,20 +525,29 @@ def _guarded():
         g.result["flops_per_ray"] = dense["flops_per_ray"]
     g.emit()
 
-    # 3) reference-exact budget (best-effort appendix)
-    if g.remaining() > 90:
-        # 540 s cap: a COLD compile of the 6-iteration sampler program is
-        # ~400 s over the tunnel; 420 s wasn't enough for compile + frames
+    # 3) reference-exact budget (best-effort appendix). The r4 driver run
+    # lost this number to a cold compile that outlived the child slot
+    # (an aborted compile never populates the cache, so retries from cold
+    # never converged); since then the beta bisection compiles as a
+    # lax.fori_loop (ops/volsdf_math.py), shrinking the program, and the
+    # child gets one retry when the budget still allows a full slot.
+    for attempt in range(2):
+        if g.remaining() < 90:
+            break
         refb, refb_err = _run_child(
             "converged", min(max(g.remaining() - 45, 60), 540))
         if refb is not None:
+            g.result.pop("reference_budget_error", None)
             g.result["reference_budget_rays_per_sec"] = round(
                 refb["rays_per_sec"], 1)
             g.result["reference_budget_vs_baseline"] = round(
                 refb["rays_per_sec"] / _BASELINE, 3)
-        else:
-            g.result["reference_budget_error"] = refb_err
+            g.emit()
+            break
+        g.result["reference_budget_error"] = refb_err
         g.emit()
+        if refb_err != "child_deadline_before_first_frame"                 or g.remaining() < 400:
+            break
 
     # 4) stress (riskiest of the VolSDF render scenarios)
     if g.remaining() > 180 and not os.environ.get("BENCH_SKIP_STRESS"):

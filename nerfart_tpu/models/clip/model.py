@@ -190,52 +190,116 @@ def init_clip_params(key: jax.Array, cfg: CLIPCfg = VIT_B_32) -> Params:
     return params
 
 
+def _a(sd, key):
+    """Fetch + cast to f32: the published OpenAI ViT-B-32.pt ships fp16
+    tensors (the reference's `clip.load` casts on CPU via model.float());
+    plain asarray would silently build a mixed-fp16 model."""
+    return jnp.asarray(np.asarray(sd[key]), jnp.float32)
+
+
 def _block_from_sd(sd, prefix):
     return {
-        "ln_1": {"w": jnp.asarray(sd[f"{prefix}.ln_1.weight"]),
-                 "b": jnp.asarray(sd[f"{prefix}.ln_1.bias"])},
-        "ln_2": {"w": jnp.asarray(sd[f"{prefix}.ln_2.weight"]),
-                 "b": jnp.asarray(sd[f"{prefix}.ln_2.bias"])},
+        "ln_1": {"w": _a(sd, f"{prefix}.ln_1.weight"),
+                 "b": _a(sd, f"{prefix}.ln_1.bias")},
+        "ln_2": {"w": _a(sd, f"{prefix}.ln_2.weight"),
+                 "b": _a(sd, f"{prefix}.ln_2.bias")},
         "attn": {
-            "in_proj_w": jnp.asarray(sd[f"{prefix}.attn.in_proj_weight"]),
-            "in_proj_b": jnp.asarray(sd[f"{prefix}.attn.in_proj_bias"]),
-            "out_proj_w": jnp.asarray(sd[f"{prefix}.attn.out_proj.weight"]),
-            "out_proj_b": jnp.asarray(sd[f"{prefix}.attn.out_proj.bias"]),
+            "in_proj_w": _a(sd, f"{prefix}.attn.in_proj_weight"),
+            "in_proj_b": _a(sd, f"{prefix}.attn.in_proj_bias"),
+            "out_proj_w": _a(sd, f"{prefix}.attn.out_proj.weight"),
+            "out_proj_b": _a(sd, f"{prefix}.attn.out_proj.bias"),
         },
-        "mlp_fc_w": jnp.asarray(sd[f"{prefix}.mlp.c_fc.weight"]),
-        "mlp_fc_b": jnp.asarray(sd[f"{prefix}.mlp.c_fc.bias"]),
-        "mlp_proj_w": jnp.asarray(sd[f"{prefix}.mlp.c_proj.weight"]),
-        "mlp_proj_b": jnp.asarray(sd[f"{prefix}.mlp.c_proj.bias"]),
+        "mlp_fc_w": _a(sd, f"{prefix}.mlp.c_fc.weight"),
+        "mlp_fc_b": _a(sd, f"{prefix}.mlp.c_fc.bias"),
+        "mlp_proj_w": _a(sd, f"{prefix}.mlp.c_proj.weight"),
+        "mlp_proj_b": _a(sd, f"{prefix}.mlp.c_proj.bias"),
     }
 
 
 def params_from_openai_state_dict(sd: Dict[str, np.ndarray],
                                   cfg: CLIPCfg = VIT_B_32) -> Params:
-    """Convert an OpenAI `clip` package state_dict {name: ndarray}."""
+    """Convert an OpenAI `clip` package state_dict {name: ndarray}.
+
+    fp16 inputs (the published artifact's on-disk dtype) are cast to f32."""
     visual = {
-        "conv1_w": jnp.asarray(sd["visual.conv1.weight"]),
-        "class_embedding": jnp.asarray(sd["visual.class_embedding"]),
-        "positional_embedding": jnp.asarray(sd["visual.positional_embedding"]),
-        "ln_pre": {"w": jnp.asarray(sd["visual.ln_pre.weight"]),
-                   "b": jnp.asarray(sd["visual.ln_pre.bias"])},
-        "ln_post": {"w": jnp.asarray(sd["visual.ln_post.weight"]),
-                    "b": jnp.asarray(sd["visual.ln_post.bias"])},
-        "proj": jnp.asarray(sd["visual.proj"]),
+        "conv1_w": _a(sd, "visual.conv1.weight"),
+        "class_embedding": _a(sd, "visual.class_embedding"),
+        "positional_embedding": _a(sd, "visual.positional_embedding"),
+        "ln_pre": {"w": _a(sd, "visual.ln_pre.weight"),
+                   "b": _a(sd, "visual.ln_pre.bias")},
+        "ln_post": {"w": _a(sd, "visual.ln_post.weight"),
+                    "b": _a(sd, "visual.ln_post.bias")},
+        "proj": _a(sd, "visual.proj"),
         "resblocks": [
             _block_from_sd(sd, f"visual.transformer.resblocks.{i}")
             for i in range(cfg.vision_layers)],
     }
     return {
         "visual": visual,
-        "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
-        "positional_embedding": jnp.asarray(sd["positional_embedding"]),
-        "ln_final": {"w": jnp.asarray(sd["ln_final.weight"]),
-                     "b": jnp.asarray(sd["ln_final.bias"])},
-        "text_projection": jnp.asarray(sd["text_projection"]),
-        "logit_scale": jnp.asarray(sd["logit_scale"]),
+        "token_embedding": _a(sd, "token_embedding.weight"),
+        "positional_embedding": _a(sd, "positional_embedding"),
+        "ln_final": {"w": _a(sd, "ln_final.weight"),
+                     "b": _a(sd, "ln_final.bias")},
+        "text_projection": _a(sd, "text_projection"),
+        "logit_scale": _a(sd, "logit_scale"),
         "resblocks": [_block_from_sd(sd, f"transformer.resblocks.{i}")
                       for i in range(cfg.text_layers)],
     }
+
+
+def params_from_hf_state_dict(sd: Dict[str, np.ndarray],
+                              cfg: CLIPCfg = VIT_B_32) -> Params:
+    """Convert a HuggingFace `transformers.CLIPModel` state_dict.
+
+    Maps HF names to the OpenAI layout and reuses the OpenAI converter:
+    per-layer q/k/v projections concatenate into in_proj (q,k,v order),
+    and the HF projection Linears ([out,in]) transpose into the OpenAI
+    [in,out] matmul matrices.
+    """
+    def n(key):
+        return np.asarray(sd[key], np.float32)
+
+    out: Dict[str, np.ndarray] = {
+        "visual.conv1.weight": n("vision_model.embeddings.patch_embedding.weight"),
+        "visual.class_embedding": n("vision_model.embeddings.class_embedding"),
+        "visual.positional_embedding": n("vision_model.embeddings.position_embedding.weight"),
+        # HF's attribute really is spelled 'pre_layrnorm'
+        "visual.ln_pre.weight": n("vision_model.pre_layrnorm.weight"),
+        "visual.ln_pre.bias": n("vision_model.pre_layrnorm.bias"),
+        "visual.ln_post.weight": n("vision_model.post_layernorm.weight"),
+        "visual.ln_post.bias": n("vision_model.post_layernorm.bias"),
+        "visual.proj": n("visual_projection.weight").T,
+        "token_embedding.weight": n("text_model.embeddings.token_embedding.weight"),
+        "positional_embedding": n("text_model.embeddings.position_embedding.weight"),
+        "ln_final.weight": n("text_model.final_layer_norm.weight"),
+        "ln_final.bias": n("text_model.final_layer_norm.bias"),
+        "text_projection": n("text_projection.weight").T,
+        "logit_scale": n("logit_scale"),
+    }
+
+    def map_layers(hf_prefix, oa_prefix, n_layers):
+        for i in range(n_layers):
+            h = f"{hf_prefix}.layers.{i}"
+            o = f"{oa_prefix}.resblocks.{i}"
+            out[f"{o}.ln_1.weight"] = n(f"{h}.layer_norm1.weight")
+            out[f"{o}.ln_1.bias"] = n(f"{h}.layer_norm1.bias")
+            out[f"{o}.ln_2.weight"] = n(f"{h}.layer_norm2.weight")
+            out[f"{o}.ln_2.bias"] = n(f"{h}.layer_norm2.bias")
+            out[f"{o}.attn.in_proj_weight"] = np.concatenate(
+                [n(f"{h}.self_attn.{p}_proj.weight") for p in "qkv"], axis=0)
+            out[f"{o}.attn.in_proj_bias"] = np.concatenate(
+                [n(f"{h}.self_attn.{p}_proj.bias") for p in "qkv"], axis=0)
+            out[f"{o}.attn.out_proj.weight"] = n(f"{h}.self_attn.out_proj.weight")
+            out[f"{o}.attn.out_proj.bias"] = n(f"{h}.self_attn.out_proj.bias")
+            out[f"{o}.mlp.c_fc.weight"] = n(f"{h}.mlp.fc1.weight")
+            out[f"{o}.mlp.c_fc.bias"] = n(f"{h}.mlp.fc1.bias")
+            out[f"{o}.mlp.c_proj.weight"] = n(f"{h}.mlp.fc2.weight")
+            out[f"{o}.mlp.c_proj.bias"] = n(f"{h}.mlp.fc2.bias")
+
+    map_layers("vision_model.encoder", "visual.transformer",
+               cfg.vision_layers)
+    map_layers("text_model.encoder", "transformer", cfg.text_layers)
+    return params_from_openai_state_dict(out, cfg)
 
 
 def load_clip_params(path_or_none: Optional[str],
@@ -254,10 +318,13 @@ def load_clip_params(path_or_none: Optional[str],
                                 else jax.random.PRNGKey(0), cfg)
     if path_or_none.endswith(".npz"):
         sd = dict(np.load(path_or_none))
-        return params_from_openai_state_dict(sd, cfg)
-    import torch
-    blob = torch.load(path_or_none, map_location="cpu", weights_only=False)
-    if hasattr(blob, "state_dict"):
-        blob = blob.state_dict()
-    sd = {k: v.detach().cpu().numpy() for k, v in blob.items()}
+    else:
+        import torch
+        blob = torch.load(path_or_none, map_location="cpu",
+                          weights_only=False)
+        if hasattr(blob, "state_dict"):
+            blob = blob.state_dict()
+        sd = {k: v.detach().cpu().numpy() for k, v in blob.items()}
+    if any(k.startswith("vision_model.") for k in sd):
+        return params_from_hf_state_dict(sd, cfg)
     return params_from_openai_state_dict(sd, cfg)

@@ -227,9 +227,14 @@ class UnisurfTrainCfg:
 
 def unisurf_losses(params: Params, batch: Dict[str, jnp.ndarray],
                    key: jax.Array, it, mcfg: UNISURFCfg,
-                   rcfg: UNISURFRenderCfg, tcfg) -> Tuple[jnp.ndarray, Tuple]:
+                   rcfg: UNISURFRenderCfg, tcfg,
+                   mesh=None) -> Tuple[jnp.ndarray, Tuple]:
     """UNISURF training losses (reference unisurf.py:303-352): L1 photo +
-    normal-smoothness regularization around surface points."""
+    normal-smoothness regularization around surface points.
+
+    With a mesh, per-ray tensors shard over the 'data' axis like the
+    VolSDF/NeuS loss paths (training.py:_sample_batch_rays) — the TPU
+    equivalent of the reference's DataParallel ray split."""
     from nerfart_tpu.ops.rays import get_rays
 
     k_rays, k_render, k_reg = jax.random.split(key, 3)
@@ -238,6 +243,11 @@ def unisurf_losses(params: Params, batch: Dict[str, jnp.ndarray],
         N_rays=tcfg.N_rays, key=k_rays)
     target_rgb = jnp.take_along_axis(batch["rgb"], select_inds[..., None],
                                      axis=-2)
+    if mesh is not None:
+        from nerfart_tpu.parallel.mesh import shard_rays
+        rays_o = shard_rays(rays_o, mesh)
+        rays_d = shard_rays(rays_d, mesh)
+        target_rgb = shard_rays(target_rgb, mesh)
     interval = jnp.maximum(
         tcfg.delta_max * jnp.exp(-jnp.asarray(it, jnp.float32)
                                  * tcfg.delta_beta), tcfg.delta_min)

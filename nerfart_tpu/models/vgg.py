@@ -55,8 +55,11 @@ def params_from_torchvision_state_dict(sd: Dict[str, np.ndarray]) -> Params:
         if f"features.{i}.weight" not in sd:
             break
         convs.append({
-            "w": jnp.asarray(sd[f"features.{i}.weight"]),
-            "b": jnp.asarray(sd[f"features.{i}.bias"]),
+            # cast-to-f32 guards against fp16 on-disk artifacts
+            "w": jnp.asarray(np.asarray(sd[f"features.{i}.weight"]),
+                             jnp.float32),
+            "b": jnp.asarray(np.asarray(sd[f"features.{i}.bias"]),
+                             jnp.float32),
         })
     return {"convs": convs}
 

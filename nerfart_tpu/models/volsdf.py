@@ -136,6 +136,11 @@ class VolSDFRenderCfg:
     # Compositing (sigma, transmittance cumsums, rgb integration) stays f32.
     # Opt-in for eval/bench; training keeps the f32 default.
     render_dtype: str = "float32"
+    # beta-bisection cumsum implementation: 'exact' (jnp.cumsum),
+    # 'matmul' (one-pass x @ triu(ones) on the MXU — PSNR-gated in
+    # QUALITY.md r4), or 'env' (read NERFART_BISECT_CUMSUM at call time,
+    # the bench children's knob). Part of the jit cache key.
+    bisect_cumsum: str = "env"
     # rematerialize each ray block in the backward pass (jax.checkpoint):
     # residuals live only for the block being differentiated, so training
     # memory scales with rays_chunk instead of the full batch (enables
@@ -196,7 +201,8 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         max_bisection=rcfg.max_bisection_steps,
         final_N_importance=rcfg.N_importance,
         N_up=rcfg.N_samples * 4,
-        perturb=rcfg.perturb, key=k_fine)
+        perturb=rcfg.perturb, key=k_fine,
+        bisect_cumsum=rcfg.bisect_cumsum)
 
     # coarse+fine concat ('not per paper but needed', volsdf.py:497-503)
     d_all = jnp.sort(jnp.concatenate([d_coarse, d_fine], axis=-1), axis=-1)
@@ -355,6 +361,7 @@ def render_kwargs_from_config(args) -> Dict[str, Any]:
         # TPU perf knobs, settable from YAML / `--model:key v` overrides
         sampler_dtype=str(args["model"].get("sampler_dtype", "float32")),
         render_dtype=str(args["model"].get("render_dtype", "float32")),
+        bisect_cumsum=str(args["model"].get("bisect_cumsum", "env")),
         rays_chunk=(int(args["model"]["rays_chunk"])
                     if args["model"].get("rays_chunk") else None),
     )

@@ -12,8 +12,8 @@ The TPU-native equivalent (SURVEY.md §2.6):
   gradient all-reduce (riding ICI), exactly DDP's communication pattern
   but compiled into the same program as the compute;
 - parameters stay replicated (they are ~1.5M floats — replication is the
-  right layout; tensor-parallel MLP sharding is provided as an option in
-  `model_parallel_sharding` for width-scaled variants).
+  right layout for MLPs this small; `data_parallel_sharding` builds the
+  per-ray NamedSharding used to lay out host batches).
 
 Host orchestration (jax.distributed.initialize for multi-host) is wired
 in `init_distributed`.

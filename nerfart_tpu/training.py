@@ -166,12 +166,40 @@ def neus_losses(params: Params, batch: Dict[str, jnp.ndarray],
 
 
 def make_optimizer(args, num_iters: int) -> optax.GradientTransformation:
-    """Adam + the reference's LR schedule (base.py:486-584)."""
+    """Adam + the reference's LR schedule (base.py:486-584).
+
+    `training.lr` is either a number or a dict {module_or_param: lr} with a
+    required 'default' entry (reference base.py:487-521). Dict keys name
+    top-level params-pytree entries (modules like 'radiance_net' or scalars
+    like 'ln_beta'); unknown keys raise, like the reference. All groups
+    share one schedule factor (LambdaLR semantics, base.py:566-580).
+    """
     lr = args["training"]["lr"]
-    assert not isinstance(lr, dict), \
-        "per-module lr dicts are not used by any reference config"
-    schedule = nets.make_schedule(args["training"]["scheduler"],
-                                  float(lr), num_iters)
+    sched_cfg = args["training"]["scheduler"]
+    if isinstance(lr, dict):
+        lr_dict = {k: float(v) for k, v in lr.items() if k != "default"}
+        if "default" not in lr:
+            raise KeyError("per-module lr dict needs a 'default' entry "
+                           "(reference base.py:491)")
+        default_lr = float(lr["default"])
+        schedule = nets.make_schedule(sched_cfg, default_lr, num_iters)
+        transforms = {"default": optax.adam(learning_rate=schedule)}
+        for name, mlr in lr_dict.items():
+            transforms[name] = optax.adam(
+                learning_rate=nets.make_schedule(sched_cfg, mlr, num_iters))
+
+        def label_params(params):
+            for name in lr_dict:
+                if name not in params:
+                    raise RuntimeError(f"wrong lr key: {name}")
+            return {
+                k: jax.tree_util.tree_map(
+                    lambda _: k if k in lr_dict else "default", v)
+                for k, v in params.items()
+            }
+
+        return optax.multi_transform(transforms, label_params), schedule
+    schedule = nets.make_schedule(sched_cfg, float(lr), num_iters)
     return optax.adam(learning_rate=schedule), schedule
 
 
@@ -195,7 +223,8 @@ def make_train_step(framework: str, mcfg, rcfg, tcfg: TrainCfg,
         from nerfart_tpu.models.unisurf import unisurf_losses
 
         def loss_fn(params, batch, key, it):
-            return unisurf_losses(params, batch, key, it, mcfg, rcfg, tcfg)
+            return unisurf_losses(params, batch, key, it, mcfg, rcfg, tcfg,
+                                  mesh)
     else:
         base_loss = {"volsdf": volsdf_losses, "neus": neus_losses}[fw]
 

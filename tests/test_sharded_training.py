@@ -117,6 +117,55 @@ def test_shard_map_render_matches_and_pads():
                                    np.asarray(depth_ref), atol=1e-5)
 
 
+def test_unisurf_sharded_training_matches_single_device():
+    """UNISURF's loss path must honor the mesh like VolSDF/NeuS
+    (VERDICT r4 item 5: training.py previously dropped the mesh arg)."""
+    from nerfart_tpu.models import unisurf as uni_fw
+
+    mcfg = uni_fw.UNISURFCfg(
+        surface=nets.ImplicitSurfaceCfg(W=32, D=2, skips=(), W_geo_feat=16,
+                                        embed_multires=2,
+                                        obj_bounding_size=3.0),
+        radiance=nets.RadianceNetCfg(D=1, W=32, skips=(), W_geo_feat=16,
+                                     embed_multires=-1,
+                                     embed_multires_view=-1,
+                                     use_view_dirs=True))
+    params = uni_fw.init_unisurf(jax.random.PRNGKey(3), mcfg)
+    rcfg = uni_fw.UNISURFRenderCfg(radius_of_interest=3.0, N_query=8,
+                                   N_freespace=4, calc_normal=False,
+                                   detailed_output=True)
+    H = W = 16
+    tcfg = uni_fw.UnisurfTrainCfg(H=H, W=W, N_rays=64, w_reg=0.1)
+    c2w = jnp.eye(4).at[2, 3].set(-2.5)[None]
+    intr = (jnp.eye(4).at[0, 0].set(20.0).at[1, 1].set(20.0)
+            .at[0, 2].set(W / 2).at[1, 2].set(H / 2))[None]
+    rgb = jax.random.uniform(jax.random.PRNGKey(8), (1, H * W, 3))
+    batch = {"c2w": c2w, "intrinsics": intr, "rgb": rgb}
+    optimizer = optax.adam(5e-4)
+
+    step_1 = training.make_train_step("unisurf", mcfg, rcfg, tcfg, optimizer,
+                                      donate=False)
+    p1, s1 = params, optimizer.init(params)
+
+    mesh = make_mesh(8)
+    step_8 = training.make_train_step("unisurf", mcfg, rcfg, tcfg, optimizer,
+                                      donate=False, mesh=mesh)
+    p8 = replicate(params, mesh)
+    s8 = replicate(optimizer.init(params), mesh)
+
+    for it in range(2):
+        k = jax.random.fold_in(jax.random.PRNGKey(21), it)
+        p1, s1, losses1, _, gn1 = step_1(p1, s1, batch, k, it)
+        p8, s8, losses8, _, gn8 = step_8(p8, s8, batch, k, it)
+        np.testing.assert_allclose(float(losses8["total"]),
+                                   float(losses1["total"]), rtol=1e-5)
+        np.testing.assert_allclose(float(gn8), float(gn1), rtol=1e-4)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 def test_auto_mesh_divisibility():
     """auto_mesh trims to the LARGEST divisor device count (ADVICE r2:
     plain halving skipped valid divisors); returns None when <2."""

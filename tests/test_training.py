@@ -145,3 +145,52 @@ def test_ray_casting_sphere():
     np.testing.assert_allclose(
         np.asarray(jnp.linalg.norm(pts2, axis=-1))[np.asarray(mask2)],
         1.0, atol=1e-3)
+
+
+def test_per_module_lr_dict():
+    """training.lr as {module: lr} builds per-group Adam with a shared
+    schedule factor (reference base.py:486-521 + LambdaLR semantics)."""
+    mcfg, rcfg = _tiny_volsdf()
+    params = volsdf_fw.init_volsdf(jax.random.PRNGKey(0), mcfg)
+    H = W = 12
+    tcfg = training.TrainCfg(H=H, W=W, N_rays=32, w_eikonal=0.1,
+                             obj_bounding_radius=3.0)
+    args = {"training": {
+        "lr": {"default": 5e-3, "radiance_net": 0.0, "ln_beta": 1e-2},
+        "scheduler": {"type": "exponential_step", "min_factor": 0.1},
+    }}
+    optimizer, schedule = training.make_optimizer(args, num_iters=100)
+    np.testing.assert_allclose(float(schedule(0)), 5e-3, rtol=1e-6)
+    opt_state = optimizer.init(params)
+    step = training.make_train_step("volsdf", mcfg, rcfg, tcfg, optimizer,
+                                    donate=False)
+    batch = _batch(H, W, jax.random.PRNGKey(1))
+    p0 = jax.tree_util.tree_map(jnp.array, params)
+    params, opt_state, losses, _, _ = step(params, opt_state, batch,
+                                           jax.random.PRNGKey(2))
+    assert np.isfinite(float(np.asarray(losses["total"])))
+    # lr=0 group is frozen; others move
+    for a, b in zip(jax.tree_util.tree_leaves(p0["radiance_net"]),
+                    jax.tree_util.tree_leaves(params["radiance_net"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.abs(params["ln_beta"] - p0["ln_beta"]).sum()) > 0
+    d_surf = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(p0["implicit_surface"]),
+        jax.tree_util.tree_leaves(params["implicit_surface"])))
+    assert d_surf > 0
+
+    # unknown key raises like the reference (base.py:509)
+    bad = {"training": {
+        "lr": {"default": 1e-3, "not_a_module": 1e-4},
+        "scheduler": {"type": "exponential_step", "min_factor": 0.1},
+    }}
+    opt_bad, _ = training.make_optimizer(bad, num_iters=10)
+    with pytest.raises(RuntimeError, match="wrong lr key"):
+        opt_bad.init(params)
+
+    # a missing 'default' entry raises (reference base.py:491 pops it)
+    with pytest.raises(KeyError):
+        training.make_optimizer({"training": {
+            "lr": {"radiance_net": 1e-4},
+            "scheduler": {"type": "exponential_step", "min_factor": 0.1},
+        }}, num_iters=10)

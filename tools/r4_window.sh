@@ -4,25 +4,26 @@
 # 1) 5-view eval, dense + full-budget, f32 vs bf16 render_dtype (PSNR parity
 #    gate for the bench's BENCH_RENDER_DTYPE=bfloat16 default)
 # 2) bench A/B: render_dtype and bisect-cumsum levers on dense/ref/stress
-set -u
+set -eu
 CKPT="$1"
 OUT="${2:-/tmp/r4_window}"
 mkdir -p "$OUT"
 cd /root/repo
 
-EVAL="python tools/eval_psnr.py --config configs/volsdf_fangzhou_nature.yaml
-      --load_pt $CKPT --downscale 2 --views 0,20,40,60,80
-      --model:sampler_dtype bfloat16"
+# bash array (ADVICE r4: word-splitting broke on paths with spaces)
+EVAL=(python tools/eval_psnr.py --config configs/volsdf_fangzhou_nature.yaml
+      --load_pt "$CKPT" --downscale 2 --views 0,20,40,60,80
+      --model:sampler_dtype bfloat16)
 
 echo "== dense f32-render ==" | tee "$OUT/eval.log"
-timeout 900 $EVAL --model:max_upsample_iter 0 2>&1 | tail -3 | tee -a "$OUT/eval.log"
+timeout 900 "${EVAL[@]}" --model:max_upsample_iter 0 2>&1 | tail -3 | tee -a "$OUT/eval.log"
 echo "== dense bf16-render ==" | tee -a "$OUT/eval.log"
-timeout 900 $EVAL --model:max_upsample_iter 0 --model:render_dtype bfloat16 \
+timeout 900 "${EVAL[@]}" --model:max_upsample_iter 0 --model:render_dtype bfloat16 \
     2>&1 | tail -3 | tee -a "$OUT/eval.log"
 echo "== full-budget f32-render ==" | tee -a "$OUT/eval.log"
-timeout 900 $EVAL 2>&1 | tail -3 | tee -a "$OUT/eval.log"
+timeout 900 "${EVAL[@]}" 2>&1 | tail -3 | tee -a "$OUT/eval.log"
 echo "== full-budget bf16-render ==" | tee -a "$OUT/eval.log"
-timeout 900 $EVAL --model:render_dtype bfloat16 2>&1 | tail -3 | tee -a "$OUT/eval.log"
+timeout 900 "${EVAL[@]}" --model:render_dtype bfloat16 2>&1 | tail -3 | tee -a "$OUT/eval.log"
 
 # bench scenario A/Bs (each child self-deadlines; BENCH_ITERS small for A/B)
 run_scn () {  # name scenario env...

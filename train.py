@@ -9,6 +9,7 @@ losses + grads + optimizer); validation renders are a second jitted
 program. Multi-chip data parallelism comes from sharding the ray batch
 over a jax Mesh (see nerfart_tpu/parallel) instead of DDP.
 """
+import dataclasses
 import os
 import sys
 import time
@@ -183,10 +184,34 @@ def main_function(args):
             w_perceptual=float(fcfg_sec["w_perceptual"]),
             w_contrastive=float(fcfg_sec["w_contrastive"]),
             w_patchnce=float(fcfg_sec["w_patchnce"]),
+            # optional reference CLIPLoss/ContrastiveLoss modes
+            # (clip_loss.py:157,299-302; contrastive_loss.py:93)
+            direction_loss_type=str(
+                fcfg_sec.get("direction_loss_type", "cosine")),
+            use_distance=bool(fcfg_sec.get("use_distance", False)),
+            contrastive_distance_type=str(
+                fcfg_sec.get("contrastive_distance_type", "euclidean")),
             patch=PatchNCECfg(
                 target_h=dataset.H * int(args["data"]["downscale"]),
                 target_w=dataset.W * int(args["data"]["downscale"]),
                 is_full_res=int(args["data"]["downscale"]) == 1))
+        # image-pair feature direction (reference clip_loss.py:176-198 +
+        # forward_features): example src/tar image lists replace the text
+        # direction driving the w_clip term
+        src_imgs = fcfg_sec.get("src_img_list") or None
+        tar_imgs = fcfg_sec.get("tar_img_list") or None
+        if src_imgs and tar_imgs:
+            from nerfart_tpu.criteria.losses import compute_feature_direction
+            from nerfart_tpu.data.image_io import load_rgb
+
+            def _stack(paths):
+                return jnp.stack([jnp.asarray(load_rgb(p)) for p in paths])
+
+            log.info("=> Image-pair feature direction from %d src / %d tar "
+                     "images", len(src_imgs), len(tar_imgs))
+            bank = dataclasses.replace(
+                bank, text_direction=compute_feature_direction(
+                    clip_params, _stack(src_imgs), _stack(tar_imgs)))
         fcfg = ft.FinetuneCfg(
             H=H, W=W, framework=bundle.name,
             w_eikonal=float(fcfg_sec.get("w_eikonal", 0.1)),
