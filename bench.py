@@ -321,6 +321,15 @@ def main():
             # the reference's exact sampling budget on the trained scene
             # (measured: ~2 upsample iterations resolve the error bound)
             rps = run_scenario(beta_init=0.1)
+            # empirical-iteration-basis MFU (VERDICT r4 weak-7): the
+            # executed count is data-dependent (lax.cond skips converged
+            # chunks), so it can't be derived from rcfg — but iter_usage
+            # maps measure it on this scene/checkpoint (late-training val
+            # maps: 99-100% of rays converge exactly at iteration 2,
+            # PERF.md round 2; re-measurable via tools/eval_psnr.py
+            # --dump_iter_usage). Override with BENCH_REF_EXEC_ITERS.
+            executed_iters = float(
+                os.environ.get("BENCH_REF_EXEC_ITERS", 2.0))
     except _Expired:
         if partial["frames"] < 1:
             # deadline hit during compile/warmup: no measurement, but exit
@@ -354,6 +363,8 @@ def main():
             require_nablas=True)
         out["flops_per_ray"] = round(fpr)
         out["mfu"] = round(F.mfu(rps, fpr), 4)
+        if scenario not in ("dense", "stress"):
+            out["mfu_iters_basis"] = executed_iters
     print(json.dumps(out))
     sys.stdout.flush()
 
@@ -542,6 +553,10 @@ def _guarded():
                 refb["rays_per_sec"], 1)
             g.result["reference_budget_vs_baseline"] = round(
                 refb["rays_per_sec"] / _BASELINE, 3)
+            if "mfu" in refb:
+                g.result["reference_budget_mfu"] = refb["mfu"]
+                g.result["reference_budget_mfu_iters_basis"] = \
+                    refb.get("mfu_iters_basis")
             g.emit()
             break
         g.result["reference_budget_error"] = refb_err

@@ -16,6 +16,8 @@ from nerfart_tpu.models import vgg as vgg_mod
 from nerfart_tpu.models import volsdf as volsdf_fw
 from tests.test_criteria import TINY_CLIP
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():

@@ -17,6 +17,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _CHILD = r"""
 import json, os, sys
 # sitecustomize may have pre-imported jax with the ambient TPU platform;

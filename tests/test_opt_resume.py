@@ -7,6 +7,9 @@ import numpy as np
 import optax
 
 from nerfart_tpu.utils.checkpoints import CheckpointIO
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_adam_state_roundtrip(tmp_path):

@@ -11,9 +11,9 @@ CKPT = os.path.join(os.path.dirname(__file__), "..", "pretrained",
 DATA = os.path.join(os.path.dirname(__file__), "..", "data",
                     "fangzhou_nature")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not (os.path.exists(CKPT) and os.path.isdir(DATA)),
-    reason="pretrained checkpoint or dataset unavailable")
+    reason="pretrained checkpoint or dataset unavailable")]
 
 
 def test_demo_checkpoint_renders_scene():

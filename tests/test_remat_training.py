@@ -18,6 +18,9 @@ from nerfart_tpu import training
 from nerfart_tpu.models import base as nets
 from nerfart_tpu.models import neus as neus_fw
 from nerfart_tpu.models import volsdf as volsdf_fw
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _batch(H, W, key):

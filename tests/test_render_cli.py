@@ -12,10 +12,10 @@ import pytest
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(os.path.join(REPO, "pretrained",
                                     "demo_volsdf_cpu.npz")),
-    reason="demo checkpoint missing")
+    reason="demo checkpoint missing")]
 
 
 def test_render_cli_shards_over_devices(tmp_path):

@@ -4,6 +4,9 @@ the mesh, so this also exercises the sharded step from the CLI)."""
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
