@@ -93,6 +93,8 @@ def main(args):
     from nerfart_tpu.ops.metrics import ssim as ssim_fn
     scores = []
     ssims = []
+    obj_scores = []
+    obj_ssims = []
     outdir = None
     if args.dump_dir:
         outdir = args.dump_dir
@@ -111,8 +113,26 @@ def main(args):
         sim = float(ssim_fn(np.clip(rgb, 0, 1), gt_img))
         scores.append(s)
         ssims.append(sim)
-        log.info("view %d: PSNR %.2f dB SSIM %.3f (%.1fs, %.0f rays/s)",
-                 v, s, sim, time.time() - t0,
+        obj_note = ""
+        if "object_mask" in model_input:
+            # Object-masked metrics: under `with_mask` training the
+            # photometric loss covers ONLY object pixels (reference
+            # neus.py:599-606 — loss_img is masked and w_mask defaults
+            # to 0, so the background is never supervised). Full-image
+            # PSNR vs the photo therefore measures unsupervised pixels;
+            # the protocol-aligned numbers are PSNR over the object mask
+            # and SSIM on the render composited over the GT background.
+            m = np.asarray(model_input["object_mask"]).reshape(H, W) > 0.5
+            pred = np.clip(rgb, 0, 1)
+            mse_obj = float(np.mean(((pred - gt_img) ** 2)[m]))
+            s_obj = float(10.0 * np.log10(1.0 / max(mse_obj, 1e-12)))
+            comp = np.where(m[..., None], pred, gt_img)
+            sim_obj = float(ssim_fn(comp, gt_img))
+            obj_scores.append(s_obj)
+            obj_ssims.append(sim_obj)
+            obj_note = f" | object-masked PSNR {s_obj:.2f} dB SSIM {sim_obj:.3f}"
+        log.info("view %d: PSNR %.2f dB SSIM %.3f%s (%.1fs, %.0f rays/s)",
+                 v, s, sim, obj_note, time.time() - t0,
                  H * W / max(time.time() - t0, 1e-9))
         if outdir is not None:
             import imageio.v2 as imageio
@@ -128,6 +148,13 @@ def main(args):
            "mean_psnr": round(float(np.mean(scores)), 2),
            "ssim": [round(s, 3) for s in ssims],
            "mean_ssim": round(float(np.mean(ssims)), 3)}
+    if obj_scores:
+        out["psnr_object_masked"] = [round(s, 2) for s in obj_scores]
+        out["mean_psnr_object_masked"] = round(
+            float(np.mean(obj_scores)), 2)
+        out["ssim_object_composite"] = [round(s, 3) for s in obj_ssims]
+        out["mean_ssim_object_composite"] = round(
+            float(np.mean(obj_ssims)), 3)
     if iter_usages:
         out["iter_usage_per_ray_mean"] = round(float(np.mean(
             [u["per_ray_mean"] for u in iter_usages])), 3)

@@ -19,7 +19,7 @@ VOLSDF_CKPT=pretrained/volsdf_fangzhou_r4.npz
 
 echo "== 1. NeuS 5-view eval (480x270) ==" | tee "$OUT/window.log"
 timeout 1200 python tools/eval_psnr.py \
-    --config configs/neus_fangzhou.yaml --load_pt "$NEUS_CKPT" \
+    --config configs/neus_fangzhou_r5.yaml --load_pt "$NEUS_CKPT" \
     --downscale 2 --views 0,20,40,60,80 --model:sampler_dtype bfloat16 \
     --dump_dir "$OUT/neus_frames" 2>&1 | tail -8 | tee -a "$OUT/window.log"
 
@@ -28,8 +28,8 @@ echo "== 2. 90-view headline protocol (dense bf16 chunk 4320) ==" \
 timeout 2400 python render.py --config configs/volsdf_fangzhou_nature.yaml \
     --load_pt "$VOLSDF_CKPT" --num_views 90 --downscale 2 \
     --model:max_upsample_iter 0 --model:render_dtype bfloat16 \
-    --model:sampler_dtype bfloat16 --model:rays_chunk 4320 \
-    --outbase r5_headline 2>&1 | tail -6 | tee -a "$OUT/window.log"
+    --model:sampler_dtype bfloat16 --rayschunk 4320 \
+    --outbase out/r5_headline 2>&1 | tail -95 | tee -a "$OUT/window.log"
 
 if [ -n "$UNI_CKPT" ]; then
   echo "== 3. UNISURF 5-view eval ==" | tee -a "$OUT/window.log"
