@@ -72,3 +72,24 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray, max_val: float = 1.0,
 def psnr_ssim(pred: jnp.ndarray, gt: jnp.ndarray,
               max_val: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return psnr(pred, gt, max_val), ssim(pred, gt, max_val)
+
+
+def object_masked_metrics(pred: jnp.ndarray, gt: jnp.ndarray,
+                          mask: jnp.ndarray) -> Tuple[float, float]:
+    """(masked PSNR, composite SSIM) for mask-supervised protocols.
+
+    Under `with_mask` training the photometric loss covers only
+    object-mask pixels (reference neus.py:599-606; `w_mask: 0.0` leaves
+    the background unsupervised), so the protocol-aligned metrics are
+    PSNR over the masked pixels and SSIM with the prediction composited
+    over the GT background. `pred`/`gt` are [H, W, C] in [0, 1];
+    `mask` is [H, W] bool-ish.
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    gt = jnp.asarray(gt, jnp.float32)
+    m = jnp.asarray(mask) > 0.5
+    se = jnp.where(m[..., None], (pred - gt) ** 2, 0.0)
+    mse = se.sum() / jnp.maximum(m.sum() * pred.shape[-1], 1)
+    psnr_obj = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+    composite = jnp.where(m[..., None], pred, gt)
+    return float(psnr_obj), float(ssim(composite, gt))

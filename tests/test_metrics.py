@@ -39,3 +39,27 @@ def test_ssim_matches_skimage():
         gaussian_weights=True, sigma=1.5, use_sample_covariance=False)
     # 'valid' vs reflect-padded windows differ at borders; centers match
     assert abs(ours - theirs) < 0.02
+
+
+def test_object_masked_metrics():
+    """Masked PSNR counts only mask pixels; composite SSIM is 1 when the
+    prediction is exact inside the mask (background differences must not
+    leak into either metric — the mask-supervised protocol never trains
+    background pixels, reference neus.py:599-606)."""
+    from nerfart_tpu.ops.metrics import object_masked_metrics
+    rng = np.random.RandomState(0)
+    gt = rng.uniform(0.2, 0.8, (24, 16, 3)).astype(np.float32)
+    mask = np.zeros((24, 16), bool)
+    mask[6:18, 4:12] = True
+
+    # exact inside the mask, garbage outside -> perfect masked scores
+    pred = np.where(mask[..., None], gt, rng.uniform(size=gt.shape))
+    p, s = object_masked_metrics(pred, gt, mask)
+    assert p > 100.0 and s > 0.999
+
+    # known error inside the mask -> PSNR reflects exactly that MSE
+    delta = 0.1
+    pred2 = np.where(mask[..., None], np.clip(gt + delta, 0, 1), 0.0)
+    p2, _ = object_masked_metrics(pred2, gt, mask)
+    expect = 10 * np.log10(1.0 / delta**2)
+    assert abs(p2 - expect) < 0.2

@@ -90,6 +90,7 @@ def main(args):
             "per_block_max_mean": float(per_block.mean()),
         })
 
+    from nerfart_tpu.ops.metrics import object_masked_metrics
     from nerfart_tpu.ops.metrics import ssim as ssim_fn
     scores = []
     ssims = []
@@ -115,19 +116,11 @@ def main(args):
         ssims.append(sim)
         obj_note = ""
         if "object_mask" in model_input:
-            # Object-masked metrics: under `with_mask` training the
-            # photometric loss covers ONLY object pixels (reference
-            # neus.py:599-606 — loss_img is masked and w_mask defaults
-            # to 0, so the background is never supervised). Full-image
-            # PSNR vs the photo therefore measures unsupervised pixels;
-            # the protocol-aligned numbers are PSNR over the object mask
-            # and SSIM on the render composited over the GT background.
-            m = np.asarray(model_input["object_mask"]).reshape(H, W) > 0.5
-            pred = np.clip(rgb, 0, 1)
-            mse_obj = float(np.mean(((pred - gt_img) ** 2)[m]))
-            s_obj = float(10.0 * np.log10(1.0 / max(mse_obj, 1e-12)))
-            comp = np.where(m[..., None], pred, gt_img)
-            sim_obj = float(ssim_fn(comp, gt_img))
+            # protocol-aligned metrics for mask-supervised training
+            # (see ops/metrics.object_masked_metrics)
+            m = np.asarray(model_input["object_mask"]).reshape(H, W)
+            s_obj, sim_obj = object_masked_metrics(
+                np.clip(rgb, 0, 1), gt_img, m)
             obj_scores.append(s_obj)
             obj_ssims.append(sim_obj)
             obj_note = f" | object-masked PSNR {s_obj:.2f} dB SSIM {sim_obj:.3f}"
