@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--stats", type=str, required=True)
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--key", type=str, default="losses")
+    ap.add_argument("--x_offset", type=int, default=0,
+                    help="add to every x (cumulative-iteration axis for "
+                         "a resumed stage)")
     args = ap.parse_args()
 
     with open(args.stats, "rb") as f:
@@ -48,7 +51,7 @@ def main():
 
     def xy(name):
         pts = losses[name]
-        return [p[0] for p in pts], [p[1] for p in pts]
+        return [p[0] + args.x_offset for p in pts], [p[1] for p in pts]
 
     for name, color in SERIES:
         if name not in losses:
