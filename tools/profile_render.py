@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from nerfart_tpu.utils.platform import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -86,7 +90,11 @@ def main():
         jax.block_until_ready(rgb)
         return float(np.asarray(rgb.reshape(-1)[0]))
 
+    t0 = time.perf_counter()
+    print("compiling...", flush=True)
     once()  # compile
+    print(f"compile+first render: {time.perf_counter() - t0:.1f} s",
+          flush=True)
     t0 = time.perf_counter()
     once()
     print(f"pre-capture: {H * W / (time.perf_counter() - t0):.0f} rays/s")
