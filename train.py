@@ -76,6 +76,11 @@ def main_function(args):
     I_VAL_MESH = int(section.get("i_val_mesh", 10000))
     I_BACKUP = int(section.get("i_backup", 50000))
     I_SAVE = int(section.get("i_save", 900))
+    # Internal wall-clock deadline (seconds; 0 = off). Checked after each
+    # step's host readback, so the exit is clean: no in-flight device work
+    # (killing a client mid-device-work wedges the tunneled PJRT server for
+    # ~35 min — bench.py _run_child). Saves latest.npz like SIGINT does.
+    MAX_WALL_SEC = float(section.get("max_wall_sec", 0))
 
     exp_dir = args["training"]["exp_dir"]
     mesh_dir = os.path.join(exp_dir, "meshes")
@@ -296,6 +301,7 @@ def main_function(args):
         model=lambda: params, optimizer=lambda: opt_state)
 
     t0 = time.time()
+    t_wall0 = time.time()
     log.info("=> Start training..., it=%d, in %s", it, exp_dir)
     n_imgs = len(dataset)
     order_key = np.random.RandomState(42)
@@ -436,6 +442,16 @@ def main_function(args):
                              float(np.asarray(losses["total"])),
                              time.time() - start_time)
                 it += 1
+                # losses were just read back to host, so the device is
+                # quiescent here — the only safe point to stop a chip run.
+                if MAX_WALL_SEC > 0 and time.time() - t_wall0 > MAX_WALL_SEC:
+                    checkpoint_io.save("latest.npz", global_step=it,
+                                       epoch_idx=epoch_idx)
+                    logger.save_stats("stats.p")
+                    log.info("=> max_wall_sec (%.0f s) reached at it=%d; "
+                             "saved latest.npz and exiting cleanly.",
+                             MAX_WALL_SEC, it)
+                    return
             epoch_idx += 1
     except StopIteration:
         pass
