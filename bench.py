@@ -209,7 +209,8 @@ def main():
                                          embed_multires_view=4,
                                          use_view_dirs=True))
         ckpt = ""
-        for name in ("neus_fangzhou_r4.npz", "neus_fangzhou_r3.npz"):
+        for name in ("neus_fangzhou_r5.npz", "neus_fangzhou_r4.npz",
+                     "neus_fangzhou_r3.npz"):
             cand = os.path.join(_REPO, "pretrained", name)
             if os.path.exists(cand):
                 ckpt = cand

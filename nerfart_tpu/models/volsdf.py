@@ -141,6 +141,17 @@ class VolSDFRenderCfg:
     # QUALITY.md r4), or 'env' (read NERFART_BISECT_CUMSUM at call time,
     # the bench children's knob). Part of the jit cache key.
     bisect_cumsum: str = "env"
+    # Uniform-only dense mode: composite exactly the N_samples uniform
+    # coarse points and skip the sampler entirely (no 4x-dense init SDF
+    # queries, no opacity-CDF importance — N_importance is ignored).
+    # Dense mode (max_upsample_steps=0) already skips the refinement
+    # loop but still pays 512 init queries + a final
+    # opacity_invert_cdf_sample for its 64 importance points; this mode
+    # trades those for more uniform points at ~2.65 MFLOP each vs
+    # ~1.06 MFLOP per init query. A quality-vs-speed trade, NOT an
+    # equivalence — only legal as a bench/render default behind a PSNR
+    # gate on trained checkpoints (QUALITY.md round 5).
+    dense_direct: bool = False
     # rematerialize each ray block in the backward pass (jax.checkpoint):
     # residuals live only for the block being differentiated, so training
     # memory scales with rays_chunk instead of the full batch (enables
@@ -192,17 +203,25 @@ def _render_block(params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         sdf, _ = forward_surface(params_s, pts, mcfg)
         return sdf.astype(rays_o.dtype)
 
-    d_fine, beta_map, iter_usage = volsdf_math.fine_sample(
-        sdf_fn, d_init, rays_o, rays_d,
-        alpha_net=jax.lax.stop_gradient(alpha),
-        beta_net=jax.lax.stop_gradient(beta),
-        far=fars,
-        eps=rcfg.epsilon, max_iter=rcfg.max_upsample_steps,
-        max_bisection=rcfg.max_bisection_steps,
-        final_N_importance=rcfg.N_importance,
-        N_up=rcfg.N_samples * 4,
-        perturb=rcfg.perturb, key=k_fine,
-        bisect_cumsum=rcfg.bisect_cumsum)
+    if rcfg.dense_direct:
+        # uniform-only dense: d_all is the coarse grid itself; report the
+        # network beta and iter_usage=-1 for the val heat maps.
+        d_fine = jnp.zeros((*d_coarse.shape[:-1], 0), d_coarse.dtype)
+        beta_map = jnp.broadcast_to(
+            jnp.asarray(beta, d_coarse.dtype), (*d_coarse.shape[:-1], 1))
+        iter_usage = jnp.full(d_coarse.shape[:-1], -1.0, d_coarse.dtype)
+    else:
+        d_fine, beta_map, iter_usage = volsdf_math.fine_sample(
+            sdf_fn, d_init, rays_o, rays_d,
+            alpha_net=jax.lax.stop_gradient(alpha),
+            beta_net=jax.lax.stop_gradient(beta),
+            far=fars,
+            eps=rcfg.epsilon, max_iter=rcfg.max_upsample_steps,
+            max_bisection=rcfg.max_bisection_steps,
+            final_N_importance=rcfg.N_importance,
+            N_up=rcfg.N_samples * 4,
+            perturb=rcfg.perturb, key=k_fine,
+            bisect_cumsum=rcfg.bisect_cumsum)
 
     # coarse+fine concat ('not per paper but needed', volsdf.py:497-503)
     d_all = jnp.sort(jnp.concatenate([d_coarse, d_fine], axis=-1), axis=-1)
@@ -362,6 +381,7 @@ def render_kwargs_from_config(args) -> Dict[str, Any]:
         sampler_dtype=str(args["model"].get("sampler_dtype", "float32")),
         render_dtype=str(args["model"].get("render_dtype", "float32")),
         bisect_cumsum=str(args["model"].get("bisect_cumsum", "env")),
+        dense_direct=bool(args["model"].get("dense_direct", False)),
         rays_chunk=(int(args["model"]["rays_chunk"])
                     if args["model"].get("rays_chunk") else None),
     )
