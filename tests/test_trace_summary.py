@@ -35,8 +35,8 @@ def test_trace_summary_categories(tmp_path):
         [sys.executable, os.path.join(REPO, "tools", "trace_summary.py"),
          str(tmp_path), "--top", "5"],
         capture_output=True, text=True, check=True).stdout
-    assert "matmul (MXU)" in out and "60.0%" in out
-    assert "fusion (elementwise/VPU)" in out and "30.0%" in out
+    assert "convolution fusion" in out and "60.0%" in out
+    assert "loop fusion" in out and "30.0%" in out
     assert "sort" in out and "10.0%" in out
     assert "junk" not in out  # host track filtered out
     assert "1.00 ms" in out  # total = 600+300+100 us

@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--scenario", type=str, default="converged",
                     choices=["converged", "dense", "stress"])
     ap.add_argument("--render_dtype", type=str, default=None)
+    ap.add_argument("--dense_direct", action="store_true",
+                    help="uniform-only dense mode (implies dense scenario "
+                         "semantics; pair with --N_samples)")
+    ap.add_argument("--N_samples", type=int, default=128)
+    ap.add_argument("--no_trace", action="store_true",
+                    help="timing A/B only; skip the jax.profiler capture")
     args = ap.parse_args()
     # scenario defaults mirror bench.py
     if args.chunk is None:
@@ -75,14 +81,16 @@ def main():
     rays_o, rays_d, _ = get_rays(c2w[None], intr[None], H, W, N_rays=-1)
 
     rcfg = V.VolSDFRenderCfg(
-        near=0.0, far=6.0, obj_bounding_radius=3.0, N_samples=128,
-        N_importance=64,
-        max_upsample_steps=0 if args.scenario == "dense" else 6,
+        near=0.0, far=6.0, obj_bounding_radius=3.0, N_samples=args.N_samples,
+        N_importance=0 if args.dense_direct else 64,
+        max_upsample_steps=0 if (args.scenario == "dense"
+                                 or args.dense_direct) else 6,
         max_bisection_steps=10,
         epsilon=1e-4 if args.scenario == "stress" else 0.1,
         calc_normal=True, require_nablas=True,
         detailed_output=False, rays_chunk=args.chunk,
-        sampler_dtype="bfloat16", render_dtype=args.render_dtype)
+        sampler_dtype="bfloat16", render_dtype=args.render_dtype,
+        dense_direct=args.dense_direct)
     render = jax.jit(V.volume_render, static_argnames=("mcfg", "rcfg"))
 
     def once():
@@ -99,6 +107,12 @@ def main():
     once()
     print(f"pre-capture: {H * W / (time.perf_counter() - t0):.0f} rays/s")
 
+    if args.no_trace:
+        t0 = time.perf_counter()
+        for _ in range(3):
+            once()
+        print(f"steady: {3 * H * W / (time.perf_counter() - t0):.0f} rays/s")
+        return
     os.makedirs(args.outdir, exist_ok=True)
     with jax.profiler.trace(args.outdir):
         once()

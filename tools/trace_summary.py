@@ -1,11 +1,15 @@
 """Summarize a jax.profiler trace directory into an op-time breakdown.
 
 jax.profiler.trace(outdir) writes, per capture, a Chrome-trace JSON
-(`plugins/profile/<run>/*.trace.json.gz`) whose complete events ('X')
-on the device tracks carry per-op wall time. This tool aggregates those
-events into categories (MXU matmul, fusion, copy/layout, sort, scan,
-host<->device, ...) and prints totals + the top-N ops, so a capture can
-be turned into the PERF.md attribution table without TensorBoard.
+(`plugins/profile/<run>/*.trace.json.gz`) whose complete events ('X') on
+the device "XLA Ops" track carry per-op wall time plus XLA metadata
+(`hlo_category`, `bytes_accessed`). This tool aggregates those into
+categories with achieved bandwidth and prints totals + the top-N ops, so
+a capture turns into the PERF.md attribution table without TensorBoard.
+
+On TPU, XLA lowers dot_general to "convolution fusion" — that category
+IS the MXU matmul work. Container ops (the jit module, `while` loop
+bodies) double-count their children and are excluded from totals.
 
 Usage: python tools/trace_summary.py <trace_dir> [--top 25]
 """
@@ -18,27 +22,28 @@ import os
 import re
 import sys
 
-CATEGORIES = [
-    # (regex on event name, category) — first match wins. HLO op names
-    # keep their opcode as a prefix ("dot.42", "fusion.7", "copy.3").
-    (r"^(dot|convolution)", "matmul (MXU)"),
-    (r"^(copy|transpose|bitcast|reshape)", "copy/layout"),
+# fallback classification when the capture has no hlo_category args
+NAME_CATEGORIES = [
+    (r"^(dot|convolution)", "convolution fusion"),
+    (r"^(copy|transpose|bitcast|reshape)", "data formatting"),
     (r"^sort", "sort"),
-    (r"^(while|conditional)", "control-flow body"),
     (r"^(all-reduce|all-gather|reduce-scatter|collective)", "collective"),
     (r"^(reduce-window|reduce|cumsum)", "reduce/cumsum"),
     (r"^(gather|scatter|dynamic-slice|dynamic-update-slice)",
      "gather/scatter"),
-    (r"^fusion", "fusion (elementwise/VPU)"),
-    (r"^(infeed|outfeed|MemcpyD2H|MemcpyH2D|transfer)", "host<->device"),
+    (r"^fusion", "loop fusion"),
 ]
+CONTAINERS = re.compile(r"^(while|conditional-body|jit_|\d+$)")
 
 
-def categorize(name):
+def categorize(name, args_dict):
+    cat = args_dict.get("hlo_category", "")
+    if cat:
+        return cat
     base = name.split("%")[-1].strip()
-    for pat, cat in CATEGORIES:
+    for pat, c in NAME_CATEGORIES:
         if re.match(pat, base):
-            return cat
+            return c
     return "other"
 
 
@@ -57,51 +62,63 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=25)
-    ap.add_argument("--pid-filter", type=str, default="",
-                    help="substring of the process/track name to keep "
-                         "(default: tracks whose name mentions TPU/device"
-                         ", falling back to all X events)")
     args = ap.parse_args()
 
     path, events = load_events(args.trace_dir)
-    # map pid -> process name from metadata events
-    pnames = {}
+    pnames, tnames = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pnames[e["pid"]] = e.get("args", {}).get("name", "")
-    want = args.pid_filter.lower()
-    if want:
-        keep_pids = {p for p, n in pnames.items() if want in n.lower()}
-    else:
-        keep_pids = {p for p, n in pnames.items()
-                     if re.search(r"tpu|device|/device", n, re.I)}
+        elif e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e.get("args", {}).get(
+                "name", "")
+    device_pids = {p for p, n in pnames.items()
+                   if re.search(r"tpu|gpu|/device", n, re.I)}
     xs = [e for e in events if e.get("ph") == "X" and "dur" in e
-          and (not keep_pids or e["pid"] in keep_pids)]
-    if not xs:  # fall back to everything
+          and (not device_pids or e["pid"] in device_pids)
+          and tnames.get((e["pid"], e.get("tid")), "XLA Ops") == "XLA Ops"]
+    if not xs:
         xs = [e for e in events if e.get("ph") == "X" and "dur" in e]
 
-    by_name = collections.Counter()
-    by_cat = collections.Counter()
-    calls = collections.Counter()
+    cat_t, cat_b = collections.Counter(), collections.Counter()
+    op_t, op_b, op_cat, calls = (collections.Counter(), {}, {},
+                                 collections.Counter())
+    skipped_container_ms = 0.0
     for e in xs:
-        name = e["name"]
-        dur = float(e["dur"])  # microseconds
-        by_name[name] += dur
-        by_cat[categorize(name)] += dur
+        name, a, dur = e["name"], e.get("args", {}), float(e["dur"])
+        cat = categorize(name, a)
+        if CONTAINERS.match(name) or cat in ("while", "conditional"):
+            skipped_container_ms += dur
+            continue
+        b = int(a.get("bytes_accessed", 0) or 0)
+        cat_t[cat] += dur
+        cat_b[cat] += b
+        op_t[name] += dur
+        op_b[name] = op_b.get(name, 0) + b
+        op_cat[name] = cat
         calls[name] += 1
-    total = sum(by_cat.values())
+    total = sum(cat_t.values())
+    total_b = sum(cat_b.values())
+    if not total:
+        sys.exit("no leaf ops found in capture")
 
     print(f"trace: {path}")
-    print(f"tracks kept: "
-          f"{sorted(pnames[p] for p in keep_pids) if keep_pids else 'ALL'}")
-    print(f"total device-op time in capture: {total / 1e3:.2f} ms\n")
-    print(f"{'category':<28}{'ms':>10}{'%':>8}")
-    for cat, dur in by_cat.most_common():
-        print(f"{cat:<28}{dur / 1e3:>10.2f}{100 * dur / total:>7.1f}%")
+    print(f"device tracks: {sorted(pnames[p] for p in device_pids)}"
+          if device_pids else "tracks: ALL")
+    print(f"leaf device-op time: {total / 1e3:.2f} ms | bytes moved: "
+          f"{total_b / 1e9:.1f} GB | sustained {total_b / total / 1e3:.0f} "
+          f"GB/s (containers excluded: {skipped_container_ms / 1e3:.1f} ms)\n")
+    print(f"{'category':<26}{'ms':>10}{'%':>8}{'GB':>9}{'GB/s':>7}")
+    for cat, dur in cat_t.most_common():
+        gbs = cat_b[cat] / dur / 1e3 if dur else 0.0
+        print(f"{cat:<26}{dur / 1e3:>10.2f}{100 * dur / total:>7.1f}%"
+              f"{cat_b[cat] / 1e9:>9.1f}{gbs:>7.0f}")
     print(f"\ntop {args.top} ops:")
-    print(f"{'op':<56}{'ms':>9}{'%':>7}{'calls':>7}")
-    for name, dur in by_name.most_common(args.top):
-        print(f"{name[:55]:<56}{dur / 1e3:>9.2f}"
+    print(f"{'op':<30}{'category':<22}{'ms':>9}{'%':>7}{'calls':>7}")
+    for name, dur in op_t.most_common(args.top):
+        print(f"{name[:29]:<30}{op_cat[name][:21]:<22}{dur / 1e3:>9.2f}"
               f"{100 * dur / total:>6.1f}%{calls[name]:>7}")
 
 
