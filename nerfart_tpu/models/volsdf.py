@@ -91,16 +91,30 @@ def forward_surface_with_nablas(params: Params, x: jnp.ndarray, cfg: VolSDFCfg):
 
 def forward(params: Params, x: jnp.ndarray, view_dirs: Optional[jnp.ndarray],
             cfg: VolSDFCfg, return_nablas: bool = True):
-    """(radiances, sdf[, nablas]) (volsdf.py:359-370)."""
+    """(radiances, sdf[, nablas]) (volsdf.py:359-370).
+
+    Internally flattens [..., 3] batch dims to one: on TPU, rank-3
+    activations ([rays, pts, W]) make XLA's layout assignment disagree
+    between the tower's forward matmuls and the nablas-vjp transposed
+    matmuls, inserting {0,1,2}<->{2,1,0} relayout copies that measured
+    38.5% of the dense frame (PERF.md round-5 trace). Rank-2 [N, W]
+    activations have a single row-major layout, so the copies vanish.
+    The reshape itself is value-exact.
+    """
+    lead = x.shape[:-1]
+    x = x.reshape(-1, x.shape[-1])
+    if view_dirs is not None:
+        view_dirs = view_dirs.reshape(-1, view_dirs.shape[-1])
     if not return_nablas and view_dirs is None:
         sdf, h = forward_surface(params, x, cfg)
         radiances = nets.radiance_net_fwd(
             params["radiance_net"], x, None, None, h, cfg.radiance)
-        return radiances, sdf
+        return radiances.reshape(*lead, -1), sdf.reshape(lead)
     sdf, nablas, h = forward_surface_with_nablas(params, x, cfg)
     radiances = nets.radiance_net_fwd(
         params["radiance_net"], x, view_dirs, nablas, h, cfg.radiance)
-    return radiances, sdf, nablas
+    return (radiances.reshape(*lead, -1), sdf.reshape(lead),
+            nablas.reshape(*lead, -1))
 
 
 @dataclasses.dataclass(frozen=True)
